@@ -1,0 +1,144 @@
+"""Unit tests for URL normalization, alias norm, ids, fingerprints."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from twine_ray.functions.fingerprint import (
+    hamming64,
+    jaccard,
+    lsh_band_keys,
+    minhash_params,
+    minhash_signature,
+    rolling_fingerprint,
+    simhash64,
+    word_shingles,
+)
+from twine_ray.functions.ids import bucket_of, canon_uuid, stable_hash64
+from twine_ray.functions.langid import detect_lang
+from twine_ray.functions.quality import quality_features, quality_score
+from twine_ray.functions.textnorm import norm_alias, simple_tokens
+from twine_ray.functions.urls import normalize_url
+
+
+def test_normalize_url_basic():
+    assert normalize_url("HTTP://Example.COM:80/a b") == "http://example.com/a b"
+    assert normalize_url("https://example.com:443/x") == "https://example.com/x"
+    assert normalize_url("https://example.com:8443/x") == "https://example.com:8443/x"
+    assert normalize_url("http://example.com") == "http://example.com/"
+
+
+def test_normalize_url_percent():
+    assert normalize_url("http://e.com/%7euser") == "http://e.com/~user"
+    assert normalize_url("http://e.com/a%2fb") == "http://e.com/a%2Fb"
+    assert normalize_url("http://e.com/p?q=%41") == "http://e.com/p?q=A"
+
+
+def test_normalize_url_keeps_fragment():
+    assert normalize_url("http://e.com/p#Frag") == "http://e.com/p#Frag"
+
+
+def test_normalize_url_idempotent_examples():
+    for u in [
+        "http://example.com/",
+        "https://a.b/c?d=e#f",
+        "not a url",
+        "",
+        "   http://x.y/  ",
+    ]:
+        assert normalize_url(normalize_url(u)) == normalize_url(u)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=100))
+def test_normalize_url_total_and_idempotent(u):
+    once = normalize_url(u)
+    assert normalize_url(once) == once
+
+
+def test_norm_alias():
+    assert norm_alias("  New  York ") == "new york"
+    assert norm_alias("ﬁle") == "file"  # NFKC ligature
+    assert norm_alias("STRASSE") == norm_alias("strasse")
+
+
+def test_simple_tokens():
+    assert simple_tokens("It's a test-case.") == ["It's", "a", "test", "case"]
+
+
+def test_ids_stable():
+    assert stable_hash64("x") == stable_hash64("x")
+    assert bucket_of("x", 16) == bucket_of("x", 16)
+    assert 0 <= bucket_of("anything", 7) < 7
+    u = canon_uuid("ent:a")
+    assert u == canon_uuid("ent:a") and len(u) == 36
+
+
+def test_minhash_similarity_monotone():
+    a, b = minhash_params(128)
+    s1 = word_shingles("the quick brown fox jumps over the lazy dog extra words here")
+    s2 = word_shingles("the quick brown fox jumps over the lazy dog extra words here")
+    s3 = word_shingles("completely different text about other topics entirely now")
+    sig1 = minhash_signature(s1, a, b)
+    sig2 = minhash_signature(s2, a, b)
+    sig3 = minhash_signature(s3, a, b)
+    assert np.array_equal(sig1, sig2)
+    est_same = (sig1 == sig2).mean()
+    est_diff = (sig1 == sig3).mean()
+    assert est_same == 1.0 and est_diff < 0.5
+
+
+def test_minhash_estimates_jaccard():
+    a, b = minhash_params(256)
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    t2 = "alpha beta gamma delta epsilon zeta eta theta iota lambda " * 3
+    s1, s2 = word_shingles(t1), word_shingles(t2)
+    true_j = jaccard(s1, s2)
+    est = (minhash_signature(s1, a, b) == minhash_signature(s2, a, b)).mean()
+    assert abs(est - true_j) < 0.15
+
+
+def test_lsh_band_keys():
+    a, b = minhash_params(64)
+    sig = minhash_signature(word_shingles("some text for the band test"), a, b)
+    keys = lsh_band_keys(sig, bands=16)
+    assert len(keys) == 16 and len(set(keys)) == 16  # distinct band prefixes
+
+
+def test_simhash():
+    h1 = simhash64("the quick brown fox jumps over the lazy dog")
+    h2 = simhash64("the quick brown fox jumps over the lazy cat")
+    h3 = simhash64("totally unrelated words appear within this sentence")
+    assert hamming64(h1, h1) == 0
+    assert hamming64(h1, h2) < hamming64(h1, h3)
+
+
+def test_rolling_fingerprint_deterministic():
+    t = "some document text that is long enough to produce fingerprints"
+    assert rolling_fingerprint(t) == rolling_fingerprint(t)
+    assert rolling_fingerprint("") == []
+
+
+def test_langid():
+    en = "the cat sat on the mat and it was happy with the sun for a while"
+    de = "der hund und die katze sind nicht mit dem auto auf der strasse"
+    fr = "le chat est dans la maison avec les enfants pour une heure"
+    assert detect_lang(en) == "en"
+    assert detect_lang(de) == "de"
+    assert detect_lang(fr) == "fr"
+    assert detect_lang("xz") == ""
+
+
+def test_quality():
+    good = (
+        "This is a reasonably long document with normal words and the usual "
+        "amount of punctuation. It has several sentences that look natural. "
+        "The content keeps going for a while to clear the length threshold. "
+        "More words are added here to be safe for the token count limit."
+    )
+    bad = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    fg, fb = quality_features(good), quality_features(bad)
+    assert quality_score(fg) > quality_score(fb)
+    assert fg["n_chars"] == len(good)
