@@ -1,0 +1,105 @@
+"""Stage S6: partitioned, sorted, resumable Parquet triple store.
+
+Analog of Twine's only sink — the SPARQL 1.1 Graph Store PUT
+(``twine:libtwine/sparql.c::twine_sparql_put``): an idempotent
+whole-graph replace.  Here "graph" maps to a deterministic bucket of
+the graph URI, and idempotent replace becomes: write the bucket
+partition, then atomically create its ``_DONE`` marker; a rerun removes
+unmarked partials and skips marked buckets (state/checkpoint.py).
+
+Triples are sorted by (subj, pred, obj) WITHIN each bucket partition —
+the sort rides the same shuffle as the partitioning (one wide exchange,
+not two), making the store range-queryable per bucket.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from twine_ray.functions.ids import bucket_of
+from twine_ray.state import checkpoint as ckpt
+
+BUCKET_COL = "graph_bucket"
+
+
+def add_graph_bucket(triples_ds, num_buckets: int):
+    def _add(batch: pa.Table) -> pa.Table:
+        buckets = pa.array(
+            [bucket_of(g, num_buckets) for g in batch["graph"].to_pylist()],
+            type=pa.int32(),
+        )
+        return batch.append_column(BUCKET_COL, buckets)
+
+    return triples_ds.map_batches(_add, batch_format="pyarrow")
+
+
+def materialize_triples(
+    triples_ds,
+    out_dir: str,
+    num_buckets: int = 32,
+    sort_within: bool = True,
+) -> dict:
+    """Write the triple store; returns {'rows': n, 'buckets': [...]}.
+
+    The groupby(bucket) shuffle co-locates each bucket, the group fn
+    sorts it, and write_parquet(partition_cols=[bucket]) lays it out
+    one directory per bucket.  Markers are written only after the write
+    completes, so a crash leaves removable unmarked partials.
+    """
+    ckpt.clean_unmarked(out_dir, BUCKET_COL)
+    already = ckpt.done_buckets(out_dir)
+
+    ds = add_graph_bucket(triples_ds, num_buckets)
+    if already:
+        import pyarrow.compute as pc
+
+        done_arr = pa.array(sorted(already), type=pa.int32())
+
+        def _skip(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.invert(pc.is_in(batch[BUCKET_COL], value_set=done_arr))
+            )
+
+        ds = ds.map_batches(_skip, batch_format="pyarrow")
+
+    if sort_within:
+        def _sort(df: pd.DataFrame) -> pd.DataFrame:
+            return df.sort_values(["subj", "pred", "obj"], kind="mergesort")
+
+        ds = ds.groupby(BUCKET_COL).map_groups(_sort, batch_format="pandas")
+
+    # Streaming write — no driver-side materialization of the store.
+    ds.write_parquet(ckpt.data_dir(out_dir), partition_cols=[BUCKET_COL])
+
+    # Discover which buckets landed on disk; mark them done and count
+    # rows from Parquet footers (metadata only, no data read).
+    import os
+
+    import pyarrow.parquet as pq
+
+    dd = ckpt.data_dir(out_dir)
+    buckets: list[int] = []
+    n_rows = 0
+    if os.path.isdir(dd):
+        for name in os.listdir(dd):
+            if not name.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(name.split("=", 1)[1])
+            part_dir = os.path.join(dd, name)
+            for f in os.listdir(part_dir):
+                if f.endswith(".parquet"):
+                    n_rows += pq.read_metadata(
+                        os.path.join(part_dir, f)
+                    ).num_rows
+            buckets.append(b)
+    new_buckets = [b for b in buckets if b not in already]
+    ckpt.mark_done(out_dir, new_buckets)
+    return {"rows": n_rows, "buckets": sorted(buckets)}
+
+
+def read_triple_store(out_dir: str):
+    """Read the store back (all marked buckets)."""
+    import ray.data as rd
+
+    return rd.read_parquet(ckpt.data_dir(out_dir))

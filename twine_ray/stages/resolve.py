@@ -1,0 +1,164 @@
+"""Stages J2 + A2 + A5: canonical rewrite, property resolution, dedup.
+
+- ``rewrite_canon`` (J2): Spindle rewrites source URIs to proxy UUIDs
+  during generate (``spindle:generate/``).  Here the canon_map is
+  broadcast once (``ray.put``) and applied inside ``map_batches`` — a
+  broadcast hash join, no shuffle; unmatched URIs pass through verbatim
+  (Twine keeps unknown URIs as-is).  Raw ``owl:sameAs`` statements are
+  consumed here and replaced by per-class membership triples
+  (proxy -> member), mirroring Spindle's generated proxy graphs.
+
+- ``resolve_and_dedup`` (A2+A5): Spindle's per-proxy property
+  resolution (winning value per property by source priority,
+  ``spindle:generate/props.c``-style) + exact quad dedup (librdf models
+  are sets — duplicate statements collapse).  Implemented as a
+  partial-then-final aggregation: the per-(graph,subj,pred) reduction is
+  associative, so each batch pre-reduces locally before ONE global
+  groupby — the combiner halves shuffle volume and defuses skew
+  (SURVEY.md §4 skew row).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from twine_ray.stages.canon import CANON_SCHEMA
+from twine_ray.stages.triples import TRIPLES_SCHEMA
+from twine_ray.state.rulebase import DEFAULT_RULEBASE, OWL_SAMEAS
+
+
+class CanonRewriter:
+    """Broadcast canon rewrite: entity URIs -> proxy URIs per batch."""
+
+    def __init__(self, canon_ref) -> None:
+        import ray
+
+        canon_rows = (
+            ray.get(canon_ref)
+            if isinstance(canon_ref, ray.ObjectRef)
+            else canon_ref
+        )
+        self.map: dict[str, str] = {
+            r["member_key"]: r["canon"] for r in canon_rows
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # drop raw sameAs statements — replaced by membership triples
+        df = df[df["pred"] != OWL_SAMEAS]
+        cmap = self.map
+        df["subj"] = df["subj"].map(lambda s: cmap.get(s, s))
+        is_uri = ~df["obj_is_lit"]
+        df.loc[is_uri, "obj"] = df.loc[is_uri, "obj"].map(
+            lambda s: cmap.get(s, s)
+        )
+        return pa.Table.from_pandas(df, schema=TRIPLES_SCHEMA,
+                                    preserve_index=False)
+
+
+def membership_triples(canon_rows: list[dict], rulebase=DEFAULT_RULEBASE):
+    """Per-class proxy graphs: (canon, owl:sameAs, member) for every
+    class with >= 2 members (Spindle proxy generation analog)."""
+    score = rulebase.score(OWL_SAMEAS)
+    out = {k: [] for k in (
+        "graph", "subj", "pred", "obj", "obj_is_lit", "obj_dt",
+        "obj_lang", "score",
+    )}
+    for r in canon_rows:
+        if r["n_members"] < 2:
+            continue
+        out["graph"].append(r["canon"])
+        out["subj"].append(r["canon"])
+        out["pred"].append(OWL_SAMEAS)
+        out["obj"].append(r["member_key"])
+        out["obj_is_lit"].append(False)
+        out["obj_dt"].append("")
+        out["obj_lang"].append("")
+        out["score"].append(score)
+    return pa.Table.from_pydict(out, schema=TRIPLES_SCHEMA)
+
+
+def rewrite_canon(triples_ds, canon_rows: list[dict]):
+    """triples_raw Dataset + canon rows -> rewritten triples Dataset
+    (+ membership triples unioned in)."""
+    import ray
+    import ray.data as rd
+
+    canon_ref = ray.put(canon_rows)
+    rewritten = triples_ds.map_batches(
+        CanonRewriter,
+        fn_constructor_kwargs={"canon_ref": canon_ref},
+        batch_format="pyarrow",
+        concurrency=4,
+    )
+    members = membership_triples(canon_rows)
+    if members.num_rows:
+        rewritten = rewritten.union(rd.from_arrow(members))
+    return rewritten
+
+
+# ---------------------------------------------------------------------------
+# A2 + A5
+# ---------------------------------------------------------------------------
+
+
+def _reduce_group(df: pd.DataFrame, single_valued: frozenset[str]) -> pd.DataFrame:
+    """The associative per-(graph,subj,pred) reduction.
+
+    single-valued pred: keep the single best row (score desc, then
+    lexicographic obj/dt/lang — deterministic under any partitioning);
+    multi-valued: distinct (obj, dt, lang) keeping the max score each.
+    """
+    df = df.sort_values(
+        ["graph", "subj", "pred", "score", "obj", "obj_dt", "obj_lang"],
+        ascending=[True, True, True, False, True, True, True],
+        kind="mergesort",
+    )
+    parts = []
+    for (_, _, pred), g in df.groupby(["graph", "subj", "pred"], sort=False):
+        if pred in single_valued:
+            parts.append(g.head(1))
+        else:
+            parts.append(
+                g.drop_duplicates(
+                    subset=["obj", "obj_dt", "obj_lang"], keep="first"
+                )
+            )
+    return pd.concat(parts) if parts else df.head(0)
+
+
+def resolve_and_dedup(triples_ds, rulebase=DEFAULT_RULEBASE):
+    """Property resolution + exact dedup (ONE wide shuffle).
+
+    Partial reduce per batch (combiner), then global
+    groupby(graph, subj, pred).map_groups with the same reduction.
+    """
+    single = frozenset(
+        p for p, r in rulebase.predicates.items() if r.single_valued
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return _reduce_group(df, single)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        return _reduce_group(df, single)
+
+    ds = triples_ds.map_batches(_partial, batch_format="pandas")
+    return ds.groupby(["graph", "subj", "pred"]).map_groups(
+        _final, batch_format="pandas"
+    )
+
+
+def strip_predicates(triples_ds, rulebase=DEFAULT_RULEBASE):
+    """Stage M7: rulebase predicate whitelist filter (Spindle's strip
+    step, ``spindle:generate/`` rulebase property rules). Vectorized
+    Arrow mask inside map_batches."""
+    import pyarrow.compute as pc
+
+    allowed = pa.array(sorted(rulebase.whitelist()), type=pa.string())
+
+    def _f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["pred"], value_set=allowed))
+
+    return triples_ds.map_batches(_f, batch_format="pyarrow")
