@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in twine_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship KG-construction pipeline (SURVEY.md §3.4) on the
+  sf0.001 testdata — documents-derived pages corpus -> resolved triples.
+- ``queries()``: one entry per implemented operator from SURVEY.md §2 +
+  the training-data extras (dedup / similarity / text analysis).
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible
+  query (same column names; float aggregates in integer micro-units on
+  both sides so hashes match bit-for-bit).  KG-specific pipelines over
+  the synthesized pages corpus are rows-only (non-SQL-expressible);
+  their deep verification lives in tests/ (golden fixtures, P/R gate).
 """
 
 from __future__ import annotations
@@ -18,27 +19,238 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# Integer micro-unit SQL fragment helper (matches twine_ray MICRO=1e6).
+def _usum(expr: str) -> str:
+    return f"SUM(CAST(ROUND(({expr}) * 1000000) AS BIGINT)) / 1000000.0"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001; returns a Dataset."""
+    from twine_ray.pipelines.kg import flagship_entry
+
+    return flagship_entry("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from twine_ray.pipelines import dedup, relational, similarity, text
+    from twine_ray.pipelines.kg import (
+        default_alias_rows,
+        kg_triples_dataset,
+    )
+    from twine_ray.sources.pages import pages_from_documents
+    from twine_ray.stages.extract import extract_text, latest_page_wins
+    from twine_ray.stages.mentions import detect_mentions
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def kg_flagship(sf_dir: str):
+        return kg_triples_dataset(
+            pages_from_documents(sf_dir), default_alias_rows()
+        )
+
+    def kg_extract(sf_dir: str):
+        ds = extract_text(pages_from_documents(sf_dir))
+        return latest_page_wins(ds).select_columns(["url", "text", "title"])
+
+    def kg_mentions(sf_dir: str):
+        extracted = extract_text(pages_from_documents(sf_dir))
+        return detect_mentions(extracted, default_alias_rows())
+
+    return {
+        # --- relational operator coverage (SURVEY.md §2, FIXTURES.md T5)
+        "filter_project": relational.q_filter_project,
+        "groupby_agg": relational.q_groupby_agg,
+        "join_broadcast": relational.q_join_broadcast,
+        "join_shuffle": relational.q_join_shuffle,
+        "sort_topk": relational.q_sort_topk,
+        "topk_per_group": relational.q_topk_per_group,
+        "distinct": relational.q_distinct,
+        "agg_global": relational.q_agg_global,
+        "semi_join": relational.q_semi_join,
+        "union_counts": relational.q_union,
+        "events_window": relational.q_events_window,
+        "latest_event_per_user": relational.q_latest_event_per_user,
+        "union_find_orders": relational.q_union_find_orders,
+        # --- text analysis over documents
+        "doc_lang_counts": text.q_doc_lang_counts,
+        "doc_nchars": text.q_doc_nchars,
+        "doc_token_counts": text.q_doc_token_counts,
+        "doc_avg_len_by_source": text.q_doc_avg_len_by_source,
+        "doc_langid": text.q_doc_langid,
+        "doc_quality": text.q_doc_quality,
+        "doc_fingerprints": text.q_doc_fingerprints,
+        # --- dedup family
+        "dedup_exact": dedup.q_dedup_exact,
+        "dedup_minhash": dedup.q_dedup_minhash,
+        "dedup_simhash": dedup.q_dedup_simhash,
+        "dedup_jaccard": dedup.q_dedup_jaccard,
+        # --- similarity search
+        "ann_topk": similarity.q_ann_topk_ids,
+        "ann_lsh": similarity.q_ann_lsh,
+        "embed_neardup": similarity.q_embed_neardup_ids,
+        # --- KG pipeline (non-SQL-expressible; P/R-gated in tests/)
+        "kg_flagship": kg_flagship,
+        "kg_extract": kg_extract,
+        "kg_mentions": kg_mentions,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+            FROM lineitem WHERE l_quantity > 45
+        """,
+        "groupby_agg": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {_usum('l_quantity')} AS sum_qty,
+                   {_usum('l_extendedprice')} AS sum_price,
+                   {_usum('l_extendedprice * (1 - l_discount)')} AS sum_revenue,
+                   {_usum('l_discount')} / COUNT(*) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_broadcast": f"""
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   {_usum('o_totalprice')} AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "join_shuffle": f"""
+            SELECT o_orderpriority,
+                   {_usum('l_extendedprice * (1 - l_discount)')} AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "sort_topk": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "topk_per_group": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM (
+                SELECT o_orderkey, o_custkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rn
+                FROM orders
+            ) WHERE rn <= 2
+        """,
+        "distinct": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "agg_global": f"""
+            SELECT COUNT(*) AS n_rows,
+                   {_usum('l_quantity')} AS sum_qty,
+                   MIN(l_extendedprice) AS min_price,
+                   MAX(l_extendedprice) AS max_price
+            FROM lineitem
+        """,
+        "semi_join": """
+            SELECT p_partkey, p_name, p_retailprice FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+        """,
+        "union_counts": """
+            SELECT o_orderstatus, COUNT(*) AS n_orders FROM (
+                SELECT * FROM orders WHERE o_orderstatus = 'F'
+                UNION ALL
+                SELECT * FROM orders WHERE o_orderstatus = 'O'
+            ) GROUP BY o_orderstatus
+        """,
+        "events_window": f"""
+            SELECT event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n_events,
+                   {_usum('value')} AS sum_value
+            FROM events
+            GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "latest_event_per_user": """
+            SELECT event_id, ts, user_id, event_type FROM (
+                SELECT event_id, ts, user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "union_find_orders": """
+            WITH sym AS (
+                SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                       'b' || CAST(o_orderkey % 97 AS VARCHAR) AS b
+                FROM orders
+                UNION
+                SELECT 'b' || CAST(o_orderkey % 97 AS VARCHAR),
+                       'c' || CAST(o_custkey AS VARCHAR)
+                FROM orders
+            ),
+            reach AS (
+                WITH RECURSIVE r(n, m) AS (
+                    SELECT a, b FROM sym
+                    UNION
+                    SELECT r.n, s.b FROM r JOIN sym s ON r.m = s.a
+                )
+                SELECT n, m FROM r
+            )
+            SELECT n AS member_key, MIN(m) AS root FROM (
+                SELECT n, m FROM reach
+                UNION
+                SELECT a AS n, a AS m FROM sym
+            ) GROUP BY n
+        """,
+        "doc_lang_counts": """
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "doc_nchars": """
+            SELECT doc_id, LENGTH(text) AS n_chars_calc FROM documents
+        """,
+        "doc_token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[\\w]+(''[\\w]+)?'))
+                       AS n_tokens
+            FROM documents
+        """,
+        "doc_avg_len_by_source": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*) AS avg_len
+            FROM documents GROUP BY source
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5,
+                   MIN(doc_id) AS doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 5
+            ),
+            c AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5
+            ),
+            s AS (
+                SELECT query_id, vec_id,
+                       list_cosine_similarity(qe, embedding) AS cosine
+                FROM q CROSS JOIN c
+            )
+            SELECT query_id, "rank", vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id ASC
+                       ) AS "rank"
+                FROM s
+            ) WHERE "rank" <= 5
+        """,
+        "embed_neardup": """
+            WITH v AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM v x JOIN v y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
+        """,
+    }

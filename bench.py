@@ -1,0 +1,168 @@
+"""Benchmark harness (BASELINE.md protocol).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "pages_per_sec": ..., "triples_per_sec": ...}
+
+``--scaling``: runs the headline KG pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs + efficiency (the sandbox proxy for the N vs 4N-node
+cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def bench_kg(sf_dir: str, num_cpus: int) -> dict:
+    """Headline: full KG pipeline (extract -> mentions/triples -> canon
+    -> resolve -> materialized store) over the documents-derived pages
+    corpus, written to /tmp (fresh dir, no resume)."""
+    import shutil
+
+    from twine_ray.pipelines.kg import default_alias_rows, run_kg_pipeline
+    from twine_ray.sources.pages import pages_from_documents
+
+    out_dir = f"/tmp/bench_kg_out_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    conc = max(2, num_cpus // 2)
+    pages = pages_from_documents(sf_dir, concurrency=conc)
+    n_pages = pages.count()  # warms the page-cache read untimed
+
+    t0 = time.perf_counter()
+    res = run_kg_pipeline(
+        pages,
+        out_dir,
+        default_alias_rows(),
+        num_buckets=32,
+        concurrency=conc,
+        resume=False,
+    )
+    dt = time.perf_counter() - t0
+    n_triples = res["store"]["rows"]
+    return {
+        "sec": dt,
+        "pages": n_pages,
+        "triples": n_triples,
+        "pages_per_sec": n_pages / dt,
+        "triples_per_sec": n_triples / dt,
+    }
+
+
+def bench_queries(sf_dir: str) -> dict[str, float]:
+    """Secondary: representative operator timings."""
+    from twine_ray.pipelines import dedup, relational, similarity, text
+
+    def consume(res):
+        import pandas as pd
+
+        if isinstance(res, pd.DataFrame):
+            return len(res)
+        return res.count()
+
+    picks = {
+        "groupby_agg": relational.q_groupby_agg,
+        "join_shuffle": relational.q_join_shuffle,
+        "sort_topk": relational.q_sort_topk,
+        "union_find_orders": relational.q_union_find_orders,
+        "doc_token_counts": text.q_doc_token_counts,
+        "dedup_exact": dedup.q_dedup_exact,
+        "dedup_minhash": dedup.q_dedup_minhash,
+        "ann_topk": similarity.q_ann_topk,
+    }
+    out = {}
+    for name, fn in picks.items():
+        t0 = time.perf_counter()
+        consume(fn(sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_single(num_cpus: int, kg_only: bool = False) -> dict:
+    _init_ray(num_cpus)
+    kg = bench_kg(SF_DIR, num_cpus)
+    queries = {} if kg_only else bench_queries(SF_DIR)
+    import ray
+
+    ray.shutdown()
+    return {
+        "metric": "kg_pipeline_wall_sec",
+        "value": round(kg["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": num_cpus,
+        "pages": kg["pages"],
+        "triples": kg["triples"],
+        "pages_per_sec": round(kg["pages_per_sec"], 2),
+        "triples_per_sec": round(kg["triples_per_sec"], 2),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, two parallelism levels, fresh processes (BASELINE.md)."""
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--kg-only"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = sub(lo), sub(hi)
+    eff = r_lo["value"] / r_hi["value"] / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "pages_per_sec_lo": r_lo["pages_per_sec"],
+        "pages_per_sec_hi": r_hi["pages_per_sec"],
+        "triples_per_sec_lo": r_lo["triples_per_sec"],
+        "triples_per_sec_hi": r_hi["triples_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_single(NUM_CPUS, kg_only="--kg-only" in sys.argv)))

@@ -1,0 +1,300 @@
+"""Deduplication family over the ``documents`` table (training-data
+pipeline extras; task brief lists these as first-class components).
+
+- exact: content-hash groupby, keep min doc_id (SQL-oracled);
+- MinHash + LSH: shingle -> signature -> band explode -> bucket
+  groupby -> candidate pairs -> Jaccard verify -> connected components;
+- SimHash: 64-bit signature, banded by 4x16-bit chunks, Hamming verify;
+- n-gram Jaccard: exact pairwise verify within cheap candidate buckets;
+- embedding cosine near-dup: see twine_ray.pipelines.similarity.
+
+All stages follow the sketch pattern (SURVEY.md §2.5 / ray guide):
+signatures computed per batch in an actor pool (hash params built once
+per actor), exploded to (bucket, doc) rows, ONE groupby per level, and
+a pair-verify stage that never materializes the corpus on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from twine_ray.functions.fingerprint import (
+    hamming64,
+    jaccard,
+    lsh_band_keys,
+    minhash_params,
+    minhash_signature,
+    simhash64,
+    word_shingles,
+)
+from twine_ray.stages.canon import union_find_local
+
+NUM_PERM = 128
+BANDS = 32  # 32 bands x 4 rows: catches J >= ~0.5 reliably
+JACCARD_THRESHOLD = 0.8
+SIMHASH_MAX_HAMMING = 3
+
+
+def _docs(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (A5 on documents)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    """One surviving doc_id (the min) per distinct text: partial
+    per-batch reduce, then groupby on the content hash."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            text_md5=df["text"].map(
+                lambda t: hashlib.md5((t or "").encode()).hexdigest()
+            ),
+            n=1,
+        )
+        return df.groupby("text_md5", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("n", "sum")
+        )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "text_md5": [df["text_md5"].iloc[0]],
+                "doc_id": [int(df["doc_id"].min())],
+                "n_copies": [int(df["n_copies"].sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("text_md5")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+class _MinHashStage:
+    """Signature + band keys per doc; hash coefficients once per actor."""
+
+    def __init__(self, num_perm: int = NUM_PERM, bands: int = BANDS) -> None:
+        self.a, self.b = minhash_params(num_perm)
+        self.bands = bands
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "band_key": []}
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            sig = minhash_signature(word_shingles(text or ""), self.a, self.b)
+            for key in lsh_band_keys(sig, self.bands):
+                rows["doc_id"].append(int(doc_id))
+                rows["band_key"].append(key)
+        return pd.DataFrame(rows)
+
+
+def _candidate_pairs(band_rows_ds):
+    """(band_key, doc_id) rows -> distinct candidate (a, b) pairs."""
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(df["doc_id"].tolist()))
+        out = {"a": [], "b": []}
+        # buckets are tiny by construction; quadratic within bucket is the
+        # standard LSH contract (log dropped buckets if one explodes)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out["a"].append(ids[i])
+                out["b"].append(ids[j])
+        return pd.DataFrame(out)
+
+    pairs = band_rows_ds.groupby("band_key").map_groups(
+        _pairs, batch_format="pandas"
+    )
+
+    def _dedup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def _first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    return (
+        pairs.map_batches(_dedup_partial, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(_first, batch_format="pandas")
+    )
+
+
+class _JaccardVerify:
+    """Exact Jaccard over broadcast shingle sets (small-side lookup)."""
+
+    def __init__(self, shingles_ref, threshold: float) -> None:
+        import ray
+
+        self.shingles = (
+            ray.get(shingles_ref)
+            if isinstance(shingles_ref, ray.ObjectRef)
+            else shingles_ref
+        )
+        self.threshold = threshold
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sims = [
+            jaccard(self.shingles.get(a, set()), self.shingles.get(b, set()))
+            for a, b in zip(df["a"], df["b"])
+        ]
+        df = df.assign(jaccard=np.round(sims, 4))
+        return df[df["jaccard"] >= self.threshold]
+
+
+def q_dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
+    """Near-dup clusters via MinHash-LSH; returns (doc_id, cluster_rep,
+    n_cluster) for docs in clusters of size >= 2.
+
+    The verify stage needs shingle sets for candidate docs only; at this
+    corpus scale they are broadcast whole — the scale path shards them
+    by doc bucket (documented partitioning assumption).
+    """
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    band_rows = ds.map_batches(
+        _MinHashStage, batch_format="pandas", batch_size=512, concurrency=2
+    )
+    pairs = _candidate_pairs(band_rows)
+
+    # shingle sets for verification (broadcast small side)
+    shingle_rows = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "shingles": [
+                    "\x1f".join(sorted(word_shingles(t or "")))
+                    for t in df["text"]
+                ],
+            }
+        ),
+        batch_format="pandas",
+    ).take_all()
+    shingles = {
+        r["doc_id"]: set(r["shingles"].split("\x1f")) if r["shingles"] else set()
+        for r in shingle_rows
+    }
+    shingles_ref = ray.put(shingles)
+
+    verified = pairs.map_batches(
+        _JaccardVerify,
+        fn_constructor_kwargs={
+            "shingles_ref": shingles_ref, "threshold": threshold,
+        },
+        batch_format="pandas",
+        concurrency=2,
+    )
+
+    # connected components over verified pairs -> clusters
+    edge_rows = verified.take_all()
+    roots = union_find_local(
+        [(f"{int(r['a']):012d}", f"{int(r['b']):012d}") for r in edge_rows]
+    )
+    sizes: dict[str, int] = {}
+    for root in roots.values():
+        sizes[root] = sizes.get(root, 0) + 1
+    out = pd.DataFrame(
+        {
+            "doc_id": [int(m) for m in roots],
+            "cluster_rep": [int(roots[m]) for m in roots],
+            "n_cluster": [sizes[roots[m]] for m in roots],
+        }
+    ).sort_values("doc_id").reset_index(drop=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_simhash(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
+    """Near-dup pairs via SimHash: band on 4x16-bit chunks (any pair
+    within Hamming distance <= 3 shares at least one exact chunk),
+    verify Hamming on candidates.  Returns (a, b, hamming)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _sig(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "band_key": [], "sig": []}
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            h = simhash64(text or "")
+            for band in range(4):
+                chunk = (h >> (band * 16)) & 0xFFFF
+                rows["doc_id"].append(int(doc_id))
+                rows["band_key"].append(f"{band}:{chunk:04x}")
+                rows["sig"].append(int(h))
+        return pd.DataFrame(rows)
+
+    band_rows = ds.map_batches(_sig, batch_format="pandas", batch_size=512)
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(
+            set(zip(df["doc_id"].tolist(), df["sig"].tolist()))
+        )
+        out = {"a": [], "b": [], "hamming": []}
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                (ida, siga), (idb, sigb) = recs[i], recs[j]
+                d = hamming64(siga, sigb)
+                if d <= max_hamming:
+                    out["a"].append(ida)
+                    out["b"].append(idb)
+                    out["hamming"].append(d)
+        return pd.DataFrame(out)
+
+    pairs = band_rows.groupby("band_key").map_groups(
+        _pairs, batch_format="pandas"
+    )
+
+    def _first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    return (
+        pairs.map_batches(lambda d: d.drop_duplicates(), batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(_first, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, bucketed)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_jaccard(sf_dir: str, threshold: float = 0.5):
+    """Exact n-gram-Jaccard pairs >= threshold among same-source docs
+    (source = cheap blocking key).  Returns (a, b, jaccard)."""
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(
+            zip(df["doc_id"].tolist(), df["text"].tolist())
+        )
+        sh = {i: word_shingles(t or "") for i, t in recs}
+        out = {"a": [], "b": [], "jaccard": []}
+        ids = [i for i, _ in recs]
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                j = jaccard(sh[ids[x]], sh[ids[y]])
+                if j >= threshold:
+                    out["a"].append(ids[x])
+                    out["b"].append(ids[y])
+                    out["jaccard"].append(round(j, 4))
+        return pd.DataFrame(out)
+
+    return ds.groupby("source").map_groups(_pairs, batch_format="pandas")

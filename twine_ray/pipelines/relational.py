@@ -1,0 +1,504 @@
+"""Generic relational operators over the TPC-H-ish testdata tables
+(SURVEY.md §2 rows M7/J1/J2/A2/A5/§2.6/§2.7 exercised generically, per
+FIXTURES.md T5).  Every function takes ``sf_dir`` and returns a Dataset
+or DataFrame whose column NAMES and VALUES match the oracle SQL in
+``__ray_entry__.oracle_sql`` exactly.
+
+Scale discipline demonstrated by each query:
+- reads prune columns (``read_parquet(columns=[...])``);
+- aggregates pre-reduce inside ``map_batches`` before the groupby
+  shuffle (partial+final combiner pattern);
+- small join sides broadcast via ``ray.put``; only large-large joins
+  use the hash-shuffle ``Dataset.join``;
+- float aggregates use integer micro-units (see MICRO below) so Ray's
+  order-insensitive partial sums hash identically to DuckDB's.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Float aggregates are computed in integer MICRO-UNITS on both sides
+# (round(expr * 1e6) summed as int64, divided back at the end): integer
+# sums are order-independent, so Ray's partial+final aggregation hashes
+# identically to DuckDB's single-pass SUM regardless of reduction order.
+MICRO = 1_000_000
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# filter + project (M7 analog)
+# ---------------------------------------------------------------------------
+
+
+def q_filter_project(sf_dir: str):
+    """lineitem rows with l_quantity > 45: key columns only."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["l_quantity"], 45.0))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# groupby aggregate with partial pre-aggregation (A2 pattern, TPC-H Q1)
+# ---------------------------------------------------------------------------
+
+
+def q_groupby_agg(sf_dir: str):
+    """Q1-style pricing summary; partial combine per batch, tiny final
+    groupby — the A2 partial+final pattern on a generic table."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount"],
+    )
+
+    import numpy as np
+
+    def _micro(s):
+        return np.round(s.to_numpy() * MICRO).astype("int64")
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            qty_u=_micro(df["l_quantity"]),
+            price_u=_micro(df["l_extendedprice"]),
+            rev_u=_micro(
+                pd.Series(
+                    df["l_extendedprice"].to_numpy()
+                    * (1.0 - df["l_discount"].to_numpy())
+                )
+            ),
+            disc_u=_micro(df["l_discount"]),
+            n=1,
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty_u", "sum"),
+            sum_price=("price_u", "sum"),
+            sum_revenue=("rev_u", "sum"),
+            sum_disc=("disc_u", "sum"),
+            count_order=("n", "sum"),
+        )
+        return g
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price", alias_name="sum_price"),
+        Sum("sum_revenue", alias_name="sum_revenue"),
+        Sum("sum_disc", alias_name="sum_disc"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": df["sum_qty"] / MICRO,
+                "sum_price": df["sum_price"] / MICRO,
+                "sum_revenue": df["sum_revenue"] / MICRO,
+                "avg_disc": (df["sum_disc"] / MICRO) / df["count_order"],
+                "count_order": df["count_order"].astype("int64"),
+            }
+        )
+        return out
+
+    return final.map_batches(_finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# broadcast hash join (J1 pattern: small side via ray.put)
+# ---------------------------------------------------------------------------
+
+
+class _BroadcastJoiner:
+    """Small-side lookup merged per batch — built once per actor."""
+
+    def __init__(self, small_ref, small_key: str, batch_key: str,
+                 cols: dict[str, str]) -> None:
+        import ray
+
+        small = (
+            ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef)
+            else small_ref
+        )
+        self.small = small.set_index(small_key)[list(cols)].rename(
+            columns=cols
+        )
+        self.batch_key = batch_key
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return df.join(self.small, on=self.batch_key, how="inner")
+
+
+def q_join_broadcast(sf_dir: str):
+    """orders ⋈ customer (broadcast) -> per-mktsegment order stats."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    small_ref = ray.put(cust)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    joined = orders.map_batches(
+        _BroadcastJoiner,
+        fn_constructor_kwargs={
+            "small_ref": small_ref,
+            "small_key": "c_custkey",
+            "batch_key": "o_custkey",
+            "cols": {"c_mktsegment": "c_mktsegment"},
+        },
+        batch_format="pandas",
+        concurrency=2,
+    )
+
+    import numpy as np
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            n=1,
+            total_u=np.round(
+                df["o_totalprice"].to_numpy() * MICRO
+            ).astype("int64"),
+        )
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("n", "sum"), total=("total_u", "sum")
+        )
+
+    partials = joined.map_batches(_partial, batch_format="pandas")
+    final = partials.groupby("c_mktsegment").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total", alias_name="total"),
+    )
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": df["c_mktsegment"],
+                "n_orders": df["n_orders"].astype("int64"),
+                "total_price": df["total"] / MICRO,
+            }
+        )
+
+    return final.map_batches(_finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# large-large shuffle hash join (J2 pattern: Dataset.join)
+# ---------------------------------------------------------------------------
+
+
+def q_join_shuffle(sf_dir: str):
+    """lineitem ⋈ orders on orderkey -> revenue per o_orderpriority."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    import numpy as np
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"].to_numpy() * (
+            1.0 - df["l_discount"].to_numpy()
+        )
+        df = df.assign(
+            revenue=np.round(rev * MICRO).astype("int64"), n=1
+        )
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("n", "sum")
+        )
+
+    partials = joined.map_batches(_partial, batch_format="pandas")
+    final = partials.groupby("o_orderpriority").aggregate(
+        Sum("revenue", alias_name="revenue"),
+        Sum("n_items", alias_name="n_items"),
+    )
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"],
+                "revenue": df["revenue"] / MICRO,
+                "n_items": df["n_items"].astype("int64"),
+            }
+        )
+
+    return final.map_batches(_finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# sort / top-k (§2.6)
+# ---------------------------------------------------------------------------
+
+
+def q_sort_topk(sf_dir: str):
+    """Top 10 orders by totalprice desc (orderkey asc tiebreak)."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    return orders.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top 2 orders per customer by totalprice (windowed top-k,
+    groupby.map_groups)."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _top2(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True],
+            kind="mergesort",
+        ).head(2)
+
+    return orders.groupby("o_custkey").map_groups(
+        _top2, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct / dedup (A5 generic)
+# ---------------------------------------------------------------------------
+
+
+def q_distinct(sf_dir: str):
+    """Distinct (l_returnflag, l_linestatus) pairs — partial per-batch
+    dedup then global groupby-first (exact-dedup pattern)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def _first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    return (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(_first, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# global aggregate (no grouping)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_global(sf_dir: str):
+    """Global lineitem stats in one partial+final pass."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    import numpy as np
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_rows": [len(df)],
+                "sum_qty_u": [
+                    int(np.round(
+                        df["l_quantity"].to_numpy() * MICRO
+                    ).astype("int64").sum())
+                ],
+                "min_price": [df["l_extendedprice"].min()],
+                "max_price": [df["l_extendedprice"].max()],
+            }
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_rows": [int(parts["n_rows"].sum())],
+            "sum_qty": [float(parts["sum_qty_u"].sum()) / MICRO],
+            "min_price": [float(parts["min_price"].min())],
+            "max_price": [float(parts["max_price"].max())],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi join via broadcast key set (§2.4 semi/anti)
+# ---------------------------------------------------------------------------
+
+
+def q_semi_join(sf_dir: str):
+    """Parts that appear in at least one lineitem (semi join): the
+    lineitem key set is aggregated small, broadcast, and applied as a
+    vectorized filter on part."""
+    import ray
+
+    li_keys = (
+        _read(sf_dir, "lineitem", ["l_partkey"])
+        .unique("l_partkey")
+    )
+    key_ref = ray.put(set(li_keys))
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+
+    class _SemiFilter:
+        def __init__(self, ref) -> None:
+            keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.keys = pa.array(sorted(keys), type=pa.int64())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["p_partkey"], value_set=self.keys))
+
+    filtered = part.map_batches(
+        _SemiFilter,
+        fn_constructor_kwargs={"ref": key_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    return filtered
+
+
+# ---------------------------------------------------------------------------
+# union (§2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_union(sf_dir: str):
+    """union of two disjoint filters = one combined dataset (count per
+    status to keep the result stable/small)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+    def _pick(status):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["o_orderstatus"], status))
+
+        return _f
+
+    a = orders.map_batches(_pick("F"), batch_format="pyarrow")
+    b = orders.map_batches(_pick("O"), batch_format="pyarrow")
+    u = a.union(b)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n=1)
+        return df.groupby("o_orderstatus", as_index=False).agg(
+            n_orders=("n", "sum")
+        )
+
+    parts = u.map_batches(_partial, batch_format="pandas")
+    final = parts.groupby("o_orderstatus").aggregate(
+        Sum("n_orders", alias_name="n_orders")
+    )
+
+    def _fix(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_orders"] = df["n_orders"].astype("int64")
+        return df
+
+    return final.map_batches(_fix, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# events: grouped aggregate + tumbling window (§2.9 analog on testdata)
+# ---------------------------------------------------------------------------
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window counts per event_type (event-log shaped
+    groupby; the batch analog of a streaming window)."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    import numpy as np
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            window_start=df["ts"].dt.floor("h"),
+            n=1,
+            value_u=np.round(df["value"].to_numpy() * MICRO).astype("int64"),
+        )
+        return df.groupby(["event_type", "window_start"],
+                          as_index=False).agg(
+            n_events=("n", "sum"), sum_value=("value_u", "sum")
+        )
+
+    parts = ev.map_batches(_partial, batch_format="pandas")
+    final = parts.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "window_start": df["window_start"],
+                "n_events": df["n_events"].astype("int64"),
+                "sum_value": df["sum_value"] / MICRO,
+            }
+        )
+
+    return final.map_batches(_finish, batch_format="pandas")
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """Latest event per user (max ts, tie max event_id) — the generic
+    latest-wins / graph-replace reduction on a neutral table."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return df.groupby("user_id", as_index=False).tail(1)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        return df.tail(1)
+
+    return (
+        ev.map_batches(_partial, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# union-find on a SQL-derivable edge set (A1 with a recursive-CTE oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_union_find_orders(sf_dir: str):
+    """Connected components over the bipartite graph
+    customer c<custkey> — bucket b<orderkey % 97> from orders.
+
+    Oracled by a DuckDB recursive CTE; returns (member_key, root)."""
+    from twine_ray.stages.canon import connected_components
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def _edges(t: pa.Table) -> pa.Table:
+        cust = [f"c{k}" for k in t["o_custkey"].to_pylist()]
+        buck = [f"b{int(k) % 97}" for k in t["o_orderkey"].to_pylist()]
+        return pa.Table.from_pydict(
+            {"u": pa.array(cust, type=pa.string()),
+             "v": pa.array(buck, type=pa.string())}
+        )
+
+    edges = orders.map_batches(_edges, batch_format="pyarrow")
+    canon = connected_components(edges)
+    return canon.select_columns(["member_key", "root"])

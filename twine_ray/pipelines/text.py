@@ -1,0 +1,182 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline extras (task brief): language-ID, quality
+scoring, token counting, fingerprinting.  Each is a vectorized or
+actor-pool ``map_batches`` stage; SQL-expressible ones carry DuckDB
+oracles in ``__ray_entry__``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from twine_ray.functions.fingerprint import rolling_fingerprint, simhash64
+from twine_ray.functions.langid import detect_lang
+from twine_ray.functions.quality import quality_features, quality_score
+from twine_ray.functions.textnorm import simple_tokens
+
+ROUND = 4
+
+
+def _docs(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def q_doc_lang_counts(sf_dir: str):
+    """Documents per stored language tag (groupby count with partial)."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["lang"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n=1)
+        return df.groupby("lang", as_index=False).agg(n_docs=("n", "sum"))
+
+    final = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def _fix(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_docs"] = df["n_docs"].astype("int64")
+        return df
+
+    return final.map_batches(_fix, batch_format="pandas")
+
+
+def q_doc_nchars(sf_dir: str):
+    """Recompute n_chars = len(text) per doc (vectorized Arrow kernel)."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars_calc": pc.cast(
+                    pc.utf8_length(t["text"]), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def q_doc_token_counts(sf_dir: str):
+    """Token count per doc with the frozen word tokenizer."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": df["text"].map(
+                    lambda t: len(simple_tokens(t or ""))
+                ).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pandas")
+
+
+class _LangIdStage:
+    """Actor-pool language-ID: profiles built once per actor."""
+
+    def __init__(self) -> None:
+        # force profile-table build/caching at init (module import cost)
+        detect_lang("warm up the profiles once per actor process")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang_stored": df["lang"],
+                "lang_detected": df["text"].map(
+                    lambda t: detect_lang(t or "")
+                ),
+            }
+        )
+
+
+def q_doc_langid(sf_dir: str):
+    """Detected vs stored language per doc (heuristic; rows-only check)."""
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    return ds.map_batches(
+        _LangIdStage, batch_format="pandas", batch_size=512, concurrency=2
+    )
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality features + scalar score per doc (rows-only check)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        feats = [quality_features(t or "") for t in df["text"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", df["doc_id"].values)
+        out["quality"] = [quality_score(f) for f in feats]
+        for c in out.columns:
+            if out[c].dtype == float:
+                out[c] = out[c].round(ROUND)
+        return out
+
+    return ds.map_batches(_f, batch_format="pandas")
+
+
+def q_doc_fingerprints(sf_dir: str):
+    """SimHash + winnowing fingerprint count per doc (rows-only)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "simhash": texts.map(
+                    lambda t: format(simhash64(t), "016x")
+                ),
+                "n_fingerprints": texts.map(
+                    lambda t: len(rolling_fingerprint(t))
+                ).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pandas")
+
+
+def q_doc_avg_len_by_source(sf_dir: str):
+    """Mean text length per source (partial sums -> exact mean)."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(length=df["text"].str.len(), n=1)
+        return df.groupby("source", as_index=False).agg(
+            sum_len=("length", "sum"), n_docs=("n", "sum")
+        )
+
+    final = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("sum_len", alias_name="sum_len"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        # integer sums -> one float division, same op on the SQL side
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_docs": df["n_docs"].astype("int64"),
+                "avg_len": df["sum_len"].astype("float64") / df["n_docs"],
+            }
+        )
+
+    return final.map_batches(_finish, batch_format="pandas")

@@ -31,6 +31,7 @@ from twine_ray.state.rulebase import canon_uri
 CANON_SCHEMA = pa.schema(
     [
         ("member_key", pa.string()),
+        ("root", pa.string()),  # lexicographic-min member of the class
         ("canon_id", pa.string()),
         ("canon", pa.string()),  # Spindle-style proxy URI
         ("n_members", pa.int32()),
@@ -74,6 +75,7 @@ def canon_table_from_roots(roots: dict[str, str]) -> pa.Table:
     return pa.Table.from_pydict(
         {
             "member_key": members,
+            "root": [roots[m] for m in members],
             "canon_id": [cids[roots[m]] for m in members],
             "canon": [canon_uri(cids[roots[m]]) for m in members],
             "n_members": [sizes[roots[m]] for m in members],
@@ -82,15 +84,33 @@ def canon_table_from_roots(roots: dict[str, str]) -> pa.Table:
     )
 
 
-def _label_propagation(edges_ds, max_rounds: int = 50):
-    """Distributed hash-min label propagation to fixpoint.
+def _label_sig(labels_ds) -> int:
+    """Order-independent signature of a (node, label) table: sum of
+    per-row stable hashes (one cheap pass)."""
+    from twine_ray.functions.ids import stable_hash64
+
+    def _h(t: pa.Table) -> pa.Table:
+        # mod 2^31 so the global int64 sum can never overflow
+        vals = [
+            stable_hash64(f"{n}\x00{l}") % (1 << 31)
+            for n, l in zip(t["node"].to_pylist(), t["label"].to_pylist())
+        ]
+        return pa.Table.from_pydict({"h": pa.array(vals, type=pa.int64())})
+
+    return labels_ds.map_batches(_h, batch_format="pyarrow").sum("h")
+
+
+def _label_propagation(edges_ds, max_rounds: int = 30):
+    """Distributed hash-min label propagation WITH pointer jumping.
 
     edges_ds: Dataset with string columns (u, v).  Returns Dataset
-    (node, label) at fixpoint.  Every round: each node's label becomes
-    min(own, labels of neighbors) via a symmetrized edge join + groupby
-    min.  The label table is |V|-sized — small relative to the corpus.
+    (node, label) at fixpoint.  Per round: (1) each node takes the min
+    of its own and its neighbors' labels (edge join + groupby-min);
+    (2) pointer jump — each node replaces its label with its label's
+    label (label join), which shortcuts chains so convergence takes
+    O(log diameter) rounds instead of O(diameter).  The label table is
+    |V|-sized — small relative to the corpus.
     """
-    import ray.data as rd
     from ray.data.aggregate import Min
 
     def _sym(batch: pa.Table) -> pa.Table:
@@ -125,8 +145,9 @@ def _label_propagation(edges_ds, max_rounds: int = 50):
     )
 
     n_parts = max(2, min(32, sym.num_blocks()))
+    prev_sig = _label_sig(labels)
     for _ in range(max_rounds):
-        # neighbor labels: join edge (node, nbr) with labels on nbr
+        # (1) neighbor min: join edge (node, nbr) with labels on nbr
         nbr_lab = sym.join(
             labels,
             join_type="inner",
@@ -140,33 +161,50 @@ def _label_propagation(edges_ds, max_rounds: int = 50):
             ),
             batch_format="pyarrow",
         )
-        new_labels = (
+        stepped = (
             labels.union(nbr_lab)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
-            .materialize()
         )
-        # converged? compare hash-sum of (node,label) pairs
-        def _sig(ds):
-            from twine_ray.functions.ids import stable_hash64
-
-            def _h(t: pa.Table) -> pa.Table:
-                vals = [
-                    stable_hash64(f"{n}\x00{l}") % (1 << 61)
-                    for n, l in zip(
-                        t["node"].to_pylist(), t["label"].to_pylist()
-                    )
-                ]
-                return pa.Table.from_pydict(
-                    {"h": pa.array(vals, type=pa.int64())}
-                )
-
-            return ds.map_batches(_h, batch_format="pyarrow").sum("h")
-
-        if _sig(new_labels) == _sig(labels):
-            labels = new_labels
+        # (2) pointer jump: label <- label(label).  Left join keeps
+        # nodes whose label has no own entry (already a root).  The
+        # right side is renamed first — Ray's join can't self-join two
+        # identically-named schemas.
+        # repartition: group/aggregate outputs can contain empty-schema
+        # blocks that break Ray's hash join (observed in 2.49)
+        stepped = stepped.repartition(n_parts).materialize()
+        as_parent = stepped.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"jnode": t["node"], "jlabel": t["label"]}
+            ),
+            batch_format="pyarrow",
+        )
+        jumped = stepped.join(
+            as_parent,
+            join_type="left_outer",
+            num_partitions=n_parts,
+            on=("label",),
+            right_on=("jnode",),
+        ).map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "node": t["node"],
+                    "label": pa.compute.coalesce(
+                        pa.compute.min_element_wise(
+                            t["label"].combine_chunks(),
+                            t["jlabel"].combine_chunks(),
+                        ),
+                        t["label"].combine_chunks(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        labels = jumped.materialize()
+        sig = _label_sig(labels)
+        if sig == prev_sig:
             break
-        labels = new_labels
+        prev_sig = sig
     return labels
 
 
@@ -179,8 +217,8 @@ def connected_components(edges_ds, driver_limit: int = DRIVER_EDGE_LIMIT,
     if n_edges == 0:
         return rd.from_arrow(
             pa.Table.from_pydict(
-                {"member_key": [], "canon_id": [], "canon": [],
-                 "n_members": []},
+                {"member_key": [], "root": [], "canon_id": [],
+                 "canon": [], "n_members": []},
                 schema=CANON_SCHEMA,
             )
         )
@@ -195,14 +233,19 @@ def connected_components(edges_ds, driver_limit: int = DRIVER_EDGE_LIMIT,
     import pandas as pd
 
     def _sizes(df: pd.DataFrame) -> pd.DataFrame:
+        # right-side key gets its own name: Ray's hash join mishandles
+        # identically-named keys on both sides (observed in 2.49).
         return pd.DataFrame(
-            {"label": [df["label"].iloc[0]], "n_members": [len(df)]}
+            {"slabel": [df["label"].iloc[0]], "n_members": [len(df)]}
         )
 
-    sizes = labels.groupby("label").map_groups(_sizes, batch_format="pandas")
     n_parts = max(2, min(32, labels.num_blocks()))
+    sizes = labels.groupby("label").map_groups(
+        _sizes, batch_format="pandas"
+    ).repartition(n_parts)
     joined = labels.join(
-        sizes, join_type="inner", num_partitions=n_parts, on=("label",)
+        sizes, join_type="inner", num_partitions=n_parts,
+        on=("label",), right_on=("slabel",),
     )
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -210,6 +253,7 @@ def connected_components(edges_ds, driver_limit: int = DRIVER_EDGE_LIMIT,
         return pd.DataFrame(
             {
                 "member_key": df["node"],
+                "root": df["label"],
                 "canon_id": cids,
                 "canon": cids.map(canon_uri),
                 "n_members": df["n_members"].astype("int32"),
