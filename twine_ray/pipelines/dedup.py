@@ -138,13 +138,9 @@ class _JaccardVerify:
     """Exact Jaccard over broadcast shingle sets (small-side lookup)."""
 
     def __init__(self, shingles_ref, threshold: float) -> None:
-        import ray
+        from twine_ray.state.broadcast import resolve
 
-        self.shingles = (
-            ray.get(shingles_ref)
-            if isinstance(shingles_ref, ray.ObjectRef)
-            else shingles_ref
-        )
+        self.shingles = resolve(shingles_ref)
         self.threshold = threshold
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -164,11 +160,12 @@ def q_dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
     corpus scale they are broadcast whole — the scale path shards them
     by doc bucket (documented partitioning assumption).
     """
-    import ray
+    from twine_ray.state.broadcast import broadcast
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     band_rows = ds.map_batches(
-        _MinHashStage, batch_format="pandas", batch_size=512, concurrency=2
+        _MinHashStage, batch_format="pandas", batch_size=512,
+        concurrency=(1, 2),
     )
     pairs = _candidate_pairs(band_rows)
 
@@ -189,7 +186,7 @@ def q_dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
         r["doc_id"]: set(r["shingles"].split("\x1f")) if r["shingles"] else set()
         for r in shingle_rows
     }
-    shingles_ref = ray.put(shingles)
+    shingles_ref = broadcast(shingles)
 
     verified = pairs.map_batches(
         _JaccardVerify,
@@ -197,7 +194,7 @@ def q_dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
             "shingles_ref": shingles_ref, "threshold": threshold,
         },
         batch_format="pandas",
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
     # connected components over verified pairs -> clusters

@@ -128,12 +128,9 @@ class _BroadcastJoiner:
 
     def __init__(self, small_ref, small_key: str, batch_key: str,
                  cols: dict[str, str]) -> None:
-        import ray
+        from twine_ray.state.broadcast import resolve
 
-        small = (
-            ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef)
-            else small_ref
-        )
+        small = resolve(small_ref)
         self.small = small.set_index(small_key)[list(cols)].rename(
             columns=cols
         )
@@ -145,11 +142,12 @@ class _BroadcastJoiner:
 
 def q_join_broadcast(sf_dir: str):
     """orders ⋈ customer (broadcast) -> per-mktsegment order stats."""
-    import ray
     from ray.data.aggregate import Sum
 
+    from twine_ray.state.broadcast import broadcast
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    small_ref = ray.put(cust)
+    small_ref = broadcast(cust)
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     joined = orders.map_batches(
@@ -161,7 +159,7 @@ def q_join_broadcast(sf_dir: str):
             "cols": {"c_mktsegment": "c_mktsegment"},
         },
         batch_format="pandas",
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
     import numpy as np
@@ -346,19 +344,20 @@ def q_semi_join(sf_dir: str):
     """Parts that appear in at least one lineitem (semi join): the
     lineitem key set is aggregated small, broadcast, and applied as a
     vectorized filter on part."""
-    import ray
+    from twine_ray.state.broadcast import broadcast
 
     li_keys = (
         _read(sf_dir, "lineitem", ["l_partkey"])
         .unique("l_partkey")
     )
-    key_ref = ray.put(set(li_keys))
+    key_ref = broadcast(set(li_keys))
     part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
 
     class _SemiFilter:
         def __init__(self, ref) -> None:
-            keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.keys = pa.array(sorted(keys), type=pa.int64())
+            from twine_ray.state.broadcast import resolve
+
+            self.keys = pa.array(sorted(resolve(ref)), type=pa.int64())
 
         def __call__(self, t: pa.Table) -> pa.Table:
             return t.filter(pc.is_in(t["p_partkey"], value_set=self.keys))
@@ -367,7 +366,7 @@ def q_semi_join(sf_dir: str):
         _SemiFilter,
         fn_constructor_kwargs={"ref": key_ref},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
     return filtered

@@ -37,13 +37,9 @@ class _CosineTopK:
     """Per-batch exact cosine scores against the broadcast query matrix."""
 
     def __init__(self, queries_ref, k: int) -> None:
-        import ray
+        from twine_ray.state.broadcast import resolve
 
-        q = (
-            ray.get(queries_ref)
-            if isinstance(queries_ref, ray.ObjectRef)
-            else queries_ref
-        )
+        q = resolve(queries_ref)
         self.qids = q["vec_id"]
         self.qmat = _normalize(np.asarray(q["mat"], dtype=np.float64))
         self.k = k
@@ -111,7 +107,7 @@ def q_embed_neardup_ids(sf_dir: str, threshold: float = 0.4,
 def q_ann_topk(sf_dir: str, k: int = DEFAULT_K):
     """Exact cosine top-k for query vectors (vec_id < N_QUERIES) over
     all other vectors. Returns (query_id, rank, vec_id, cosine)."""
-    import ray
+    from twine_ray.state.broadcast import broadcast
 
     ds = _emb(sf_dir)
     qdf = (
@@ -119,7 +115,7 @@ def q_ann_topk(sf_dir: str, k: int = DEFAULT_K):
         .to_pandas()
         .sort_values("vec_id")
     )
-    queries_ref = ray.put(
+    queries_ref = broadcast(
         {
             "vec_id": qdf["vec_id"].to_numpy(),
             "mat": np.stack(qdf["embedding"].to_numpy()),
@@ -130,7 +126,7 @@ def q_ann_topk(sf_dir: str, k: int = DEFAULT_K):
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
         batch_format="pandas",
         batch_size=1024,
-        concurrency=2,
+        concurrency=(1, 2),
     ).to_pandas()
     return _merge_topk(parts, k)
 
@@ -176,7 +172,7 @@ def q_ann_lsh(sf_dir: str, k: int = DEFAULT_K, n_planes: int = 6):
         fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
         batch_format="pandas",
         batch_size=2048,
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
     qdf = bucketed.filter(expr=f"vec_id < {N_QUERIES}").to_pandas()
@@ -187,7 +183,7 @@ def q_ann_lsh(sf_dir: str, k: int = DEFAULT_K, n_planes: int = 6):
 
     cand = bucketed.map_batches(_in_buckets, batch_format="pandas")
 
-    queries_ref = ray.put(
+    queries_ref = broadcast(
         {
             "vec_id": qdf["vec_id"].to_numpy(),
             "mat": np.stack(qdf["embedding"].to_numpy()),
@@ -198,7 +194,7 @@ def q_ann_lsh(sf_dir: str, k: int = DEFAULT_K, n_planes: int = 6):
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
         batch_format="pandas",
         batch_size=2048,
-        concurrency=2,
+        concurrency=(1, 2),
     ).to_pandas()
     return _merge_topk(parts, k)
 

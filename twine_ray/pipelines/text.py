@@ -106,7 +106,8 @@ def q_doc_langid(sf_dir: str):
     """Detected vs stored language per doc (heuristic; rows-only check)."""
     ds = _docs(sf_dir, ["doc_id", "text", "lang"])
     return ds.map_batches(
-        _LangIdStage, batch_format="pandas", batch_size=512, concurrency=2
+        _LangIdStage, batch_format="pandas", batch_size=512,
+        concurrency=(1, 2),
     )
 
 

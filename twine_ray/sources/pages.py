@@ -29,6 +29,7 @@ import pyarrow as pa
 
 from twine_ray.functions.html_text import html_to_text
 from twine_ray.sources import world as W
+from twine_ray.state.broadcast import pool
 
 PAGES_SCHEMA = pa.schema(
     [
@@ -83,7 +84,7 @@ def synth_pages_dataset(n_pages: int, seed: int = W.WORLD_SEED,
         },
         batch_size=512,
         batch_format="numpy",
-        concurrency=concurrency or 4,
+        concurrency=pool(concurrency or 4),
     )
 
 
@@ -188,7 +189,7 @@ def pages_from_documents(sf_dir: str, seed: int = W.WORLD_SEED,
         fn_constructor_kwargs={"seed": seed, "n_entities": n_entities},
         batch_size=256,
         batch_format="pyarrow",
-        concurrency=concurrency or 4,
+        concurrency=pool(concurrency or 4),
     )
 
 

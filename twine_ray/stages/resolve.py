@@ -32,15 +32,10 @@ class CanonRewriter:
     """Broadcast canon rewrite: entity URIs -> proxy URIs per batch."""
 
     def __init__(self, canon_ref) -> None:
-        import ray
+        from twine_ray.state.broadcast import resolve
 
-        canon_rows = (
-            ray.get(canon_ref)
-            if isinstance(canon_ref, ray.ObjectRef)
-            else canon_ref
-        )
         self.map: dict[str, str] = {
-            r["member_key"]: r["canon"] for r in canon_rows
+            r["member_key"]: r["canon"] for r in resolve(canon_ref)
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -82,15 +77,16 @@ def membership_triples(canon_rows: list[dict], rulebase=DEFAULT_RULEBASE):
 def rewrite_canon(triples_ds, canon_rows: list[dict]):
     """triples_raw Dataset + canon rows -> rewritten triples Dataset
     (+ membership triples unioned in)."""
-    import ray
     import ray.data as rd
 
-    canon_ref = ray.put(canon_rows)
+    from twine_ray.state.broadcast import broadcast
+
+    canon_ref = broadcast(canon_rows)
     rewritten = triples_ds.map_batches(
         CanonRewriter,
         fn_constructor_kwargs={"canon_ref": canon_ref},
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=(1, 4),
     )
     members = membership_triples(canon_rows)
     if members.num_rows:

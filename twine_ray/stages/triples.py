@@ -69,14 +69,9 @@ class TripleExtractor:
 
     def __init__(self, alias_ref, rulebase=DEFAULT_RULEBASE,
                  force_ac: bool | None = None) -> None:
-        import ray
+        from twine_ray.state.broadcast import resolve
 
-        rows = (
-            ray.get(alias_ref)
-            if isinstance(alias_ref, ray.ObjectRef)
-            else alias_ref
-        )
-        self.matcher = GazetteerMatcher(rows, force_ac=force_ac)
+        self.matcher = GazetteerMatcher(resolve(alias_ref), force_ac=force_ac)
         self.rulebase = rulebase
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -131,13 +126,13 @@ class TripleExtractor:
 def extract_triples(extracted_ds, alias_rows, concurrency=4,
                     batch_size: int = 128, force_ac: bool | None = None):
     """extracted Dataset -> triples_raw Dataset (actor pool, ST1/ST2)."""
-    import ray
+    from twine_ray.state.broadcast import broadcast, pool
 
-    alias_ref = ray.put(alias_rows)
+    alias_ref = broadcast(alias_rows)
     return extracted_ds.map_batches(
         TripleExtractor,
         fn_constructor_kwargs={"alias_ref": alias_ref, "force_ac": force_ac},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=pool(concurrency),
     )
