@@ -46,20 +46,45 @@ def _init_ray(num_cpus: int) -> None:
     ctx.execution_options.verbose_progress = False
 
 
-def bench_kg(sf_dir: str, num_cpus: int) -> dict:
-    """Headline: full KG pipeline (extract -> mentions/triples -> canon
-    -> resolve -> materialized store) over the documents-derived pages
-    corpus, written to /tmp (fresh dir, no resume)."""
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "100000"))
+
+
+def ensure_bench_corpus(n_pages: int) -> str:
+    """Generate the deterministic synthetic pages corpus to Parquet ONCE
+    (BASELINE.md: ~10^5 pages, seed-fixed); reused across parallelism
+    levels so both runs read identical bytes."""
+    corpus_dir = f"/tmp/twine_ray_bench/pages_{n_pages}_seed42"
+    marker = os.path.join(corpus_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return corpus_dir
     import shutil
 
-    from twine_ray.pipelines.kg import default_alias_rows, run_kg_pipeline
-    from twine_ray.sources.pages import pages_from_documents
+    from twine_ray.sources.pages import synth_pages_dataset
 
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    ds = synth_pages_dataset(n_pages, concurrency=16)
+    ds.write_parquet(corpus_dir)
+    with open(marker, "w") as f:
+        f.write("done\n")
+    return corpus_dir
+
+
+def bench_kg(sf_dir: str, num_cpus: int) -> dict:
+    """Headline: full KG pipeline (extract -> mentions/triples -> canon
+    -> resolve -> materialized store) over the ~10^5-page synthetic
+    Parquet corpus, written to /tmp (fresh dir, no resume)."""
+    import shutil
+
+    import ray.data as rd
+
+    from twine_ray.pipelines.kg import default_alias_rows, run_kg_pipeline
+
+    corpus_dir = ensure_bench_corpus(BENCH_PAGES)
     out_dir = f"/tmp/bench_kg_out_{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
 
     conc = max(2, num_cpus // 2)
-    pages = pages_from_documents(sf_dir, concurrency=conc)
+    pages = rd.read_parquet(corpus_dir)
     n_pages = pages.count()  # warms the page-cache read untimed
 
     t0 = time.perf_counter()
