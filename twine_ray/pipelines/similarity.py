@@ -161,7 +161,7 @@ def q_ann_lsh(sf_dir: str, k: int = DEFAULT_K, n_planes: int = 6):
     """Approximate top-k: query and candidates must share an SRP
     bucket.  Same output schema as q_ann_topk (approximate contents —
     compared to the exact baseline by recall in tests, not equality)."""
-    import ray
+    from twine_ray.state.broadcast import broadcast
 
     ds = _emb(sf_dir)
     first = ds.take(1)[0]
