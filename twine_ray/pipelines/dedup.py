@@ -39,6 +39,10 @@ JACCARD_THRESHOLD = 0.8
 SIMHASH_MAX_HAMMING = 3
 
 
+def _noop_pandas(df: pd.DataFrame) -> pd.DataFrame:
+    return df
+
+
 def _docs(sf_dir: str, columns):
     import ray.data as rd
 
@@ -52,34 +56,26 @@ def _docs(sf_dir: str, columns):
 
 def q_dedup_exact(sf_dir: str):
     """One surviving doc_id (the min) per distinct text: partial
-    per-batch reduce, then groupby on the content hash."""
+    per-batch reduce, then hash-bucketed vectorized merge on the
+    content hash (associative: min of mins, sum of counts)."""
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            text_md5=df["text"].map(
-                lambda t: hashlib.md5((t or "").encode()).hexdigest()
-            ),
-            n=1,
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if "text_md5" not in df.columns:
+            df = df.assign(
+                text_md5=df["text"].map(
+                    lambda t: hashlib.md5((t or "").encode()).hexdigest()
+                ),
+                n_copies=1,
+            ).drop(columns=["text"])
+        out = df.groupby("text_md5", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("n_copies", "sum")
         )
-        return df.groupby("text_md5", as_index=False).agg(
-            doc_id=("doc_id", "min"), n_copies=("n", "sum")
-        )
+        return out
 
-    def _final(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "text_md5": [df["text_md5"].iloc[0]],
-                "doc_id": [int(df["doc_id"].min())],
-                "n_copies": [int(df["n_copies"].sum())],
-            }
-        )
-
-    return (
-        ds.map_batches(_partial, batch_format="pandas")
-        .groupby("text_md5")
-        .map_groups(_final, batch_format="pandas")
-    )
+    return bucketed_group_reduce(ds, ["text_md5"], _reduce)
 
 
 # ---------------------------------------------------------------------------
@@ -105,33 +101,33 @@ class _MinHashStage:
 
 
 def _candidate_pairs(band_rows_ds):
-    """(band_key, doc_id) rows -> distinct candidate (a, b) pairs."""
-    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(df["doc_id"].tolist()))
-        out = {"a": [], "b": []}
-        # buckets are tiny by construction; quadratic within bucket is the
-        # standard LSH contract (log dropped buckets if one explodes)
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out["a"].append(ids[i])
-                out["b"].append(ids[j])
-        return pd.DataFrame(out)
+    """(band_key, doc_id) rows -> distinct candidate (a, b) pairs.
 
-    pairs = band_rows_ds.groupby("band_key").map_groups(
-        _pairs, batch_format="pandas"
+    Pair generation is a vectorized self-merge per bucket of band keys
+    (pandas C join), not a Python loop per band; the standard LSH
+    contract is quadratic within a band — buckets are tiny by
+    construction (log if one explodes is left to callers)."""
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        m = df.merge(df, on="band_key", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return pd.DataFrame(
+            {"a": m["doc_id_a"].values, "b": m["doc_id_b"].values}
+        ).drop_duplicates()
+
+    pairs = bucketed_group_reduce(
+        band_rows_ds.map_batches(_noop_pandas, batch_format="pandas"),
+        ["band_key"],
+        _pairs,
+        partial=False,
     )
 
-    def _dedup_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates()
 
-    def _first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
-
-    return (
-        pairs.map_batches(_dedup_partial, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(_first, batch_format="pandas")
-    )
+    return bucketed_group_reduce(pairs, ["a", "b"], _dedup)
 
 
 class _JaccardVerify:
@@ -230,42 +226,52 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
         rows = {"doc_id": [], "band_key": [], "sig": []}
         for doc_id, text in zip(df["doc_id"], df["text"]):
             h = simhash64(text or "")
+            # two's-complement int64 so the column dtype is stable
+            # across batches (raw uint64 values can exceed int64)
+            h_i64 = h - (1 << 64) if h >= (1 << 63) else h
             for band in range(4):
                 chunk = (h >> (band * 16)) & 0xFFFF
                 rows["doc_id"].append(int(doc_id))
                 rows["band_key"].append(f"{band}:{chunk:04x}")
-                rows["sig"].append(int(h))
+                rows["sig"].append(h_i64)
         return pd.DataFrame(rows)
 
     band_rows = ds.map_batches(_sig, batch_format="pandas", batch_size=512)
 
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(
-            set(zip(df["doc_id"].tolist(), df["sig"].tolist()))
-        )
-        out = {"a": [], "b": [], "hamming": []}
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                (ida, siga), (idb, sigb) = recs[i], recs[j]
-                d = hamming64(siga, sigb)
-                if d <= max_hamming:
-                    out["a"].append(ida)
-                    out["b"].append(idb)
-                    out["hamming"].append(d)
-        return pd.DataFrame(out)
+        df = df.drop_duplicates()
+        m = df.merge(df, on="band_key", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if m.empty:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
+                {"a": "int64", "b": "int64", "hamming": "int64"}
+            )
+        sa = m["sig_a"].to_numpy(dtype=np.int64)
+        sb = m["sig_b"].to_numpy(dtype=np.int64)
+        x = sa ^ sb
+        # vectorized popcount via byte-view + unpackbits
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                            axis=1).sum(axis=1)
+        m = m.assign(hamming=ham.astype("int64"))
+        m = m[m["hamming"] <= max_hamming]
+        return pd.DataFrame(
+            {"a": m["doc_id_a"].values, "b": m["doc_id_b"].values,
+             "hamming": m["hamming"].values}
+        ).drop_duplicates()
 
-    pairs = band_rows.groupby("band_key").map_groups(
-        _pairs, batch_format="pandas"
+    pairs = bucketed_group_reduce(
+        band_rows.map_batches(_noop_pandas, batch_format="pandas"),
+        ["band_key"],
+        _pairs,
+        partial=False,
     )
 
-    def _first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
 
-    return (
-        pairs.map_batches(lambda d: d.drop_duplicates(), batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(_first, batch_format="pandas")
-    )
+    return bucketed_group_reduce(pairs, ["a", "b"], _dedup)
 
 
 # ---------------------------------------------------------------------------

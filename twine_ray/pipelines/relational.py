@@ -260,20 +260,22 @@ def q_sort_topk(sf_dir: str):
 
 
 def q_topk_per_group(sf_dir: str):
-    """Top 2 orders per customer by totalprice (windowed top-k,
-    groupby.map_groups)."""
+    """Top 2 orders per customer by totalprice — windowed top-k as a
+    bucketed vectorized reduction (sort + groupby().head(2), both C
+    kernels; associative per customer)."""
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_totalprice"])
 
-    def _top2(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True],
-            kind="mergesort",
-        ).head(2)
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return df.groupby("o_custkey", sort=False).head(2)
 
-    return orders.groupby("o_custkey").map_groups(
-        _top2, batch_format="pandas"
-    )
+    return bucketed_group_reduce(orders, ["o_custkey"], _reduce)
 
 
 # ---------------------------------------------------------------------------
@@ -283,19 +285,17 @@ def q_topk_per_group(sf_dir: str):
 
 def q_distinct(sf_dir: str):
     """Distinct (l_returnflag, l_linestatus) pairs — partial per-batch
-    dedup then global groupby-first (exact-dedup pattern)."""
+    dedup then hash-bucketed vectorized dedup (exact-dedup pattern,
+    no per-key Python calls)."""
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates()
 
-    def _first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
-
-    return (
-        ds.map_batches(_partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .map_groups(_first, batch_format="pandas")
+    return bucketed_group_reduce(
+        ds, ["l_returnflag", "l_linestatus"], _reduce, num_buckets=16
     )
 
 
@@ -458,22 +458,16 @@ def q_events_window(sf_dir: str):
 
 def q_latest_event_per_user(sf_dir: str):
     """Latest event per user (max ts, tie max event_id) — the generic
-    latest-wins / graph-replace reduction on a neutral table."""
+    latest-wins / graph-replace reduction, bucketed + vectorized."""
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        return df.groupby("user_id", as_index=False).tail(1)
+        return df.drop_duplicates(subset=["user_id"], keep="last")
 
-    def _final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        return df.tail(1)
-
-    return (
-        ev.map_batches(_partial, batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(_final, batch_format="pandas")
-    )
+    return bucketed_group_reduce(ev, ["user_id"], _reduce)
 
 
 # ---------------------------------------------------------------------------

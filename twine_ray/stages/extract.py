@@ -70,25 +70,32 @@ def latest_page_wins(extracted_ds):
     extracted text, never the raw ``html`` bytes (SURVEY.md §4).
 
     Partial per-batch reduce first (co-resident dups collapse early),
-    then the global groupby on the normalized url.  Ties on (url,
-    warc_ts) break on the lexicographically greatest text hash —
-    deterministic under any partitioning.
+    then a hash-bucketed final reduce on the normalized url (ONE
+    shuffle, vectorized within buckets — never one Python call per
+    url).  Ties on (url, warc_ts) break on the lexicographically
+    greatest text hash — deterministic under any partitioning.
     """
     import hashlib
 
     import pandas as pd
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        tie = df["text"].map(
-            lambda t: hashlib.md5((t or "").encode()).hexdigest()
-        )
-        df = df.assign(_tie=tie)
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.drop(columns=["_tie"], errors="ignore")
+        if "_tie" not in df.columns:
+            df = df.assign(
+                _tie=df["text"].map(
+                    lambda t: hashlib.md5((t or "").encode()).hexdigest()
+                )
+            )
         df = df.sort_values(["url", "warc_ts", "_tie"], kind="mergesort")
-        return df.groupby("url", as_index=False).tail(1)
+        return df.drop_duplicates(subset=["url"], keep="last")
 
-    def _final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["warc_ts", "_tie"], kind="mergesort")
-        return df.tail(1).drop(columns=["_tie"])
+    deduped = bucketed_group_reduce(extracted_ds, ["url"], _reduce)
 
-    ds = extracted_ds.map_batches(_partial, batch_format="pandas")
-    return ds.groupby("url").map_groups(_final, batch_format="pandas")
+    def _drop_tie(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=["_tie"], errors="ignore")
+
+    return deduped.map_batches(_drop_tie, batch_format="pandas")

@@ -1,0 +1,61 @@
+"""Bucketed group-reduce — the scale-safe replacement for per-key
+map_groups.
+
+``ds.groupby(keys).map_groups(fn)`` invokes the Python UDF ONCE PER
+GROUP; with millions of tiny groups (one per (graph, subj, pred)) the
+interpreter overhead dominates the pipeline.  The fix: hash the key
+columns into B buckets, run ONE groupby on the bucket column, and apply
+a VECTORIZED whole-DataFrame reduction per bucket (pandas C kernels
+over thousands of key groups at once).
+
+Correctness contract for ``reduce_fn``: it must be correct when applied
+to any union of COMPLETE key groups (associative per key, vectorized
+over keys) — which hash-bucketing by the full key guarantees.
+
+Bucket hashing uses ``pd.util.hash_pandas_object`` (SipHash with a
+fixed key) — deterministic across processes and machines, unlike
+builtin ``hash``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+
+BUCKET_COL = "__kb"
+
+
+def add_key_bucket(df: pd.DataFrame, key_cols: list[str],
+                   num_buckets: int) -> pd.DataFrame:
+    import numpy as np
+
+    h = np.zeros(len(df), dtype=np.uint64)
+    for c in key_cols:
+        hc = pd.util.hash_pandas_object(df[c], index=False).to_numpy()
+        # deterministic per-column mix (uint64 wraparound is defined)
+        h = h * np.uint64(1099511628211) + hc
+    return df.assign(**{BUCKET_COL: (h % num_buckets).astype("int32")})
+
+
+def bucketed_group_reduce(
+    ds,
+    key_cols: list[str],
+    reduce_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = 64,
+    partial: bool = True,
+):
+    """partial per-batch reduce -> bucket keys -> ONE shuffle -> final
+    vectorized reduce per bucket."""
+    if partial:
+        ds = ds.map_batches(reduce_fn, batch_format="pandas")
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return add_key_bucket(df, key_cols, num_buckets)
+
+    ds = ds.map_batches(_bucket, batch_format="pandas")
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        return reduce_fn(df.drop(columns=[BUCKET_COL]))
+
+    return ds.groupby(BUCKET_COL).map_groups(_final, batch_format="pandas")

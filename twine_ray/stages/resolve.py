@@ -100,49 +100,52 @@ def rewrite_canon(triples_ds, canon_rows: list[dict]):
 
 
 def _reduce_group(df: pd.DataFrame, single_valued: frozenset[str]) -> pd.DataFrame:
-    """The associative per-(graph,subj,pred) reduction.
+    """The associative per-(graph,subj,pred) reduction — VECTORIZED
+    (no Python loop over key groups; pandas C kernels only).
 
     single-valued pred: keep the single best row (score desc, then
     lexicographic obj/dt/lang — deterministic under any partitioning);
     multi-valued: distinct (obj, dt, lang) keeping the max score each.
     """
+    if df.empty:
+        return df
     df = df.sort_values(
         ["graph", "subj", "pred", "score", "obj", "obj_dt", "obj_lang"],
         ascending=[True, True, True, False, True, True, True],
         kind="mergesort",
     )
-    parts = []
-    for (_, _, pred), g in df.groupby(["graph", "subj", "pred"], sort=False):
-        if pred in single_valued:
-            parts.append(g.head(1))
-        else:
-            parts.append(
-                g.drop_duplicates(
-                    subset=["obj", "obj_dt", "obj_lang"], keep="first"
-                )
-            )
-    return pd.concat(parts) if parts else df.head(0)
+    is_single = df["pred"].isin(single_valued)
+    single_part = df[is_single].drop_duplicates(
+        subset=["graph", "subj", "pred"], keep="first"
+    )
+    multi_part = df[~is_single].drop_duplicates(
+        subset=["graph", "subj", "pred", "obj", "obj_dt", "obj_lang"],
+        keep="first",
+    )
+    return pd.concat([single_part, multi_part])
 
 
-def resolve_and_dedup(triples_ds, rulebase=DEFAULT_RULEBASE):
+def resolve_and_dedup(triples_ds, rulebase=DEFAULT_RULEBASE,
+                      num_buckets: int = 64):
     """Property resolution + exact dedup (ONE wide shuffle).
 
-    Partial reduce per batch (combiner), then global
-    groupby(graph, subj, pred).map_groups with the same reduction.
+    Partial reduce per batch (combiner), then hash-bucketed final
+    reduce (twine_ray.stages.grouped) — the per-key map_groups
+    alternative costs one Python call per (graph,subj,pred) group,
+    which is millions of calls at corpus scale.
     """
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
     single = frozenset(
         p for p, r in rulebase.predicates.items() if r.single_valued
     )
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
         return _reduce_group(df, single)
 
-    def _final(df: pd.DataFrame) -> pd.DataFrame:
-        return _reduce_group(df, single)
-
-    ds = triples_ds.map_batches(_partial, batch_format="pandas")
-    return ds.groupby(["graph", "subj", "pred"]).map_groups(
-        _final, batch_format="pandas"
+    return bucketed_group_reduce(
+        triples_ds, ["graph", "subj", "pred"], _reduce,
+        num_buckets=num_buckets,
     )
 
 
