@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": relational.q_events_window,
         "latest_event_per_user": relational.q_latest_event_per_user,
         "union_find_orders": relational.q_union_find_orders,
+        "except_diff": relational.q_except,
         # --- text analysis over documents
         "doc_lang_counts": text.q_doc_lang_counts,
         "doc_nchars": text.q_doc_nchars,
@@ -150,6 +151,13 @@ def oracle_sql() -> dict[str, str]:
         "semi_join": """
             SELECT p_partkey, p_name, p_retailprice FROM part
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+        """,
+        "except_diff": """
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE l_quantity > 30
+            EXCEPT
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE l_discount <= 0.05
         """,
         "union_counts": """
             SELECT o_orderstatus, COUNT(*) AS n_orders FROM (

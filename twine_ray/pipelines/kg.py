@@ -130,12 +130,28 @@ def run_kg_pipeline(
     phase2 = materialize_triples(
         resolved, store_dir, num_buckets=num_buckets, sort_within=True
     )
+    from twine_ray.stages.materialize import read_lineage
+
+    n_classes = len({r["canon_id"] for r in canon_rows})
     return {
         "raw": phase1,
         "store": phase2,
         "n_canon_members": len(canon_rows),
         "raw_dir": raw_dir,
         "store_dir": store_dir,
+        # A4 metrics + per-partition lineage (north_rule)
+        "metrics": {
+            "raw_triples": phase1["rows"],
+            "store_triples": phase2["rows"],
+            "coref_members": len(canon_rows),
+            "coref_classes": n_classes,
+            "raw_buckets": len(phase1["buckets"]),
+            "store_buckets": len(phase2["buckets"]),
+        },
+        "lineage": {
+            "raw": read_lineage(raw_dir),
+            "store": read_lineage(store_dir),
+        },
     }
 
 

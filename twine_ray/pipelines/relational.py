@@ -495,3 +495,30 @@ def q_union_find_orders(sf_dir: str):
     edges = orders.map_batches(_edges, batch_format="pyarrow")
     canon = connected_components(edges)
     return canon.select_columns(["member_key", "root"])
+
+
+# ---------------------------------------------------------------------------
+# set difference (J3 generic: EXCEPT via bucketed anti-join)
+# ---------------------------------------------------------------------------
+
+
+def q_except(sf_dir: str):
+    """Line items with quantity > 30 EXCEPT those with discount <= 0.05
+    — the incremental-diff anti-join (twine_ray.stages.diff) on a
+    neutral table, with SQL EXCEPT (set) semantics."""
+    from twine_ray.stages.diff import dataset_except
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"])
+
+    def _left(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["l_quantity"], 30.0))
+
+    def _right(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t["l_discount"], 0.05))
+
+    left = ds.map_batches(_left, batch_format="pyarrow")
+    right = ds.map_batches(_right, batch_format="pyarrow")
+    return dataset_except(
+        left, right, ["l_orderkey", "l_linenumber"], distinct=True
+    )

@@ -81,21 +81,67 @@ def materialize_triples(
     dd = ckpt.data_dir(out_dir)
     buckets: list[int] = []
     n_rows = 0
+    lineage: dict[int, dict] = {}
     if os.path.isdir(dd):
         for name in os.listdir(dd):
             if not name.startswith(f"{BUCKET_COL}="):
                 continue
             b = int(name.split("=", 1)[1])
             part_dir = os.path.join(dd, name)
+            part_rows = 0
+            part_bytes = 0
+            part_files = 0
             for f in os.listdir(part_dir):
                 if f.endswith(".parquet"):
-                    n_rows += pq.read_metadata(
-                        os.path.join(part_dir, f)
-                    ).num_rows
+                    fp = os.path.join(part_dir, f)
+                    part_rows += pq.read_metadata(fp).num_rows
+                    part_bytes += os.path.getsize(fp)
+                    part_files += 1
+            n_rows += part_rows
             buckets.append(b)
+            lineage[b] = {
+                "bucket": b,
+                "rows": part_rows,
+                "files": part_files,
+                "bytes": part_bytes,
+            }
     new_buckets = [b for b in buckets if b not in already]
+    write_lineage(out_dir, [lineage[b] for b in new_buckets])
     ckpt.mark_done(out_dir, new_buckets)
     return {"rows": n_rows, "buckets": sorted(buckets)}
+
+
+def write_lineage(out_dir: str, records: list[dict]) -> None:
+    """Per-partition lineage (north_rule requirement): one JSON file per
+    bucket under ``<out>/_LINEAGE/``, written before the bucket's
+    ``_DONE`` marker so lineage can never describe an unfinished
+    partition.  Markers — not lineage — remain the resume source of
+    truth (SURVEY.md §7 hard part d)."""
+    import json
+    import os
+
+    ld = os.path.join(out_dir, "_LINEAGE")
+    os.makedirs(ld, exist_ok=True)
+    for rec in records:
+        tmp = os.path.join(ld, f".{rec['bucket']}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(rec, f, sort_keys=True)
+        os.replace(tmp, os.path.join(ld, f"{rec['bucket']}.json"))
+
+
+def read_lineage(out_dir: str) -> list[dict]:
+    import json
+    import os
+
+    ld = os.path.join(out_dir, "_LINEAGE")
+    if not os.path.isdir(ld):
+        return []
+    out = []
+    for name in sorted(os.listdir(ld)):
+        if name.endswith(".json"):
+            with open(os.path.join(ld, name)) as f:
+                out.append(json.load(f))
+    return out
 
 
 def read_triple_store(out_dir: str):
