@@ -104,6 +104,9 @@ def bench_kg(sf_dir: str, num_cpus: int) -> dict:
         "triples": n_triples,
         "pages_per_sec": n_pages / dt,
         "triples_per_sec": n_triples / dt,
+        "phases": {
+            k: v for k, v in res["metrics"].items() if k.endswith("_sec")
+        },
     }
 
 
@@ -154,6 +157,7 @@ def run_single(num_cpus: int, kg_only: bool = False) -> dict:
         "triples": kg["triples"],
         "pages_per_sec": round(kg["pages_per_sec"], 2),
         "triples_per_sec": round(kg["triples_per_sec"], 2),
+        "phases": kg.get("phases", {}),
     }
 
 

@@ -112,16 +112,21 @@ def run_kg_pipeline(
 
         extracted = extracted.map_batches(_skip_done, batch_format="pyarrow")
 
+    import time
+
+    t0 = time.perf_counter()
     deduped = latest_page_wins(extracted)
     triples_raw = extract_triples(deduped, alias_rows,
                                   concurrency=concurrency)
     phase1 = materialize_triples(
         triples_raw, raw_dir, num_buckets=num_buckets, sort_within=False
     )
+    t1 = time.perf_counter()
 
     # ---- phase 2: global canonicalization over the checkpointed raw ----
     raw_ds = read_triple_store(raw_dir).drop_columns(["graph_bucket"])
     canon_rows = connected_components(sameas_edges(raw_ds)).take_all()
+    t2 = time.perf_counter()
     rewritten = rewrite_canon(raw_ds, canon_rows)
     resolved = resolve_and_dedup(rewritten, rulebase)
 
@@ -130,6 +135,7 @@ def run_kg_pipeline(
     phase2 = materialize_triples(
         resolved, store_dir, num_buckets=num_buckets, sort_within=True
     )
+    t3 = time.perf_counter()
     from twine_ray.stages.materialize import read_lineage
 
     n_classes = len({r["canon_id"] for r in canon_rows})
@@ -141,6 +147,9 @@ def run_kg_pipeline(
         "store_dir": store_dir,
         # A4 metrics + per-partition lineage (north_rule)
         "metrics": {
+            "phase1_sec": round(t1 - t0, 3),
+            "canon_sec": round(t2 - t1, 3),
+            "phase2_sec": round(t3 - t2, 3),
             "raw_triples": phase1["rows"],
             "store_triples": phase2["rows"],
             "coref_members": len(canon_rows),
