@@ -25,7 +25,11 @@ from twine_ray.sources.pages import alias_dict_table, pages_from_documents
 from twine_ray.stages.canon import connected_components
 from twine_ray.stages.extract import extract_text, latest_page_wins
 from twine_ray.stages.materialize import materialize_triples, read_triple_store
-from twine_ray.stages.resolve import resolve_and_dedup, rewrite_canon
+from twine_ray.stages.resolve import (
+    resolve_and_dedup,
+    resolve_for_store,
+    rewrite_canon,
+)
 from twine_ray.stages.triples import extract_triples
 from twine_ray.state.rulebase import DEFAULT_RULEBASE, OWL_SAMEAS
 
@@ -124,16 +128,21 @@ def run_kg_pipeline(
     t1 = time.perf_counter()
 
     # ---- phase 2: global canonicalization over the checkpointed raw ----
-    raw_ds = read_triple_store(raw_dir).drop_columns(["graph_bucket"])
+    # pin the raw read: it feeds BOTH the edge projection and the canon
+    # rewrite — one Parquet scan, second consumer reads the object store
+    raw_ds = read_triple_store(raw_dir).drop_columns(
+        ["graph_bucket"]
+    ).materialize()
     canon_rows = connected_components(sameas_edges(raw_ds)).take_all()
     t2 = time.perf_counter()
     rewritten = rewrite_canon(raw_ds, canon_rows)
-    resolved = resolve_and_dedup(rewritten, rulebase)
+    resolved = resolve_for_store(rewritten, rulebase,
+                                 num_buckets=num_buckets)
 
     # store is rebuilt each run: clear stale markers so buckets replace
     ckpt_dir_reset(store_dir)
     phase2 = materialize_triples(
-        resolved, store_dir, num_buckets=num_buckets, sort_within=True
+        resolved, store_dir, num_buckets=num_buckets, prepared=True
     )
     t3 = time.perf_counter()
     from twine_ray.stages.materialize import read_lineage

@@ -213,6 +213,9 @@ def connected_components(edges_ds, driver_limit: int = DRIVER_EDGE_LIMIT,
     """edges Dataset (u, v) -> canon_map Dataset (CANON_SCHEMA)."""
     import ray.data as rd
 
+    # pin the (tiny) edge projection so the count and the collect/LP
+    # below do not re-execute the whole upstream pipeline twice
+    edges_ds = edges_ds.materialize()
     n_edges = edges_ds.count()
     if n_edges == 0:
         return rd.from_arrow(

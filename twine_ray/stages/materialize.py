@@ -39,18 +39,29 @@ def materialize_triples(
     out_dir: str,
     num_buckets: int = 32,
     sort_within: bool = True,
+    prepared: bool = False,
 ) -> dict:
     """Write the triple store; returns {'rows': n, 'buckets': [...]}.
 
-    The groupby(bucket) shuffle co-locates each bucket, the group fn
-    sorts it, and write_parquet(partition_cols=[bucket]) lays it out
+    The groupby(bucket) shuffle co-locates each bucket (ALWAYS — it
+    also aligns output blocks to partition dirs, one file per bucket
+    instead of blocks x buckets tiny files), the group fn sorts it when
+    requested, and write_parquet(partition_cols=[bucket]) lays it out
     one directory per bucket.  Markers are written only after the write
     completes, so a crash leaves removable unmarked partials.
+
+    ``prepared=True``: the input already carries BUCKET_COL and is
+    grouped/sorted (e.g. by resolve_for_store, which fuses the resolve
+    reduction into this same shuffle) — write directly.
+
+    Sizing note: pick ``num_buckets`` so one bucket's triples fit a
+    worker's heap (scale it with the corpus; it is also the resume
+    granularity).
     """
     ckpt.clean_unmarked(out_dir, BUCKET_COL)
     already = ckpt.done_buckets(out_dir)
 
-    ds = add_graph_bucket(triples_ds, num_buckets)
+    ds = triples_ds if prepared else add_graph_bucket(triples_ds, num_buckets)
     if already:
         import pyarrow.compute as pc
 
@@ -63,11 +74,21 @@ def materialize_triples(
 
         ds = ds.map_batches(_skip, batch_format="pyarrow")
 
-    if sort_within:
-        def _sort(df: pd.DataFrame) -> pd.DataFrame:
-            return df.sort_values(["subj", "pred", "obj"], kind="mergesort")
+    if not prepared:
+        if sort_within:
+            def _sort(df: pd.DataFrame) -> pd.DataFrame:
+                return df.sort_values(["subj", "pred", "obj"],
+                                      kind="mergesort")
 
-        ds = ds.groupby(BUCKET_COL).map_groups(_sort, batch_format="pandas")
+            ds = ds.groupby(BUCKET_COL).map_groups(
+                _sort, batch_format="pandas"
+            )
+        else:
+            # unsorted (raw checkpoint) path: no shuffle — just coalesce
+            # blocks so partition_cols doesn't explode into
+            # blocks x buckets tiny files (file count = blocks x buckets;
+            # it also bounds the read-back fan-in of phase 2)
+            ds = ds.repartition(8)
 
     # Streaming write — no driver-side materialization of the store.
     ds.write_parquet(ckpt.data_dir(out_dir), partition_cols=[BUCKET_COL])

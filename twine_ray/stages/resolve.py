@@ -161,3 +161,41 @@ def strip_predicates(triples_ds, rulebase=DEFAULT_RULEBASE):
         return batch.filter(pc.is_in(batch["pred"], value_set=allowed))
 
     return triples_ds.map_batches(_f, batch_format="pyarrow")
+
+
+def resolve_for_store(triples_ds, rulebase=DEFAULT_RULEBASE,
+                      num_buckets: int = 32):
+    """Fused production path: property resolution + dedup + store sort
+    + partition bucketing in ONE shuffle.
+
+    The resolution key is (graph, subj, pred); grouping by
+    graph_bucket = hash(graph) co-locates every row of each resolution
+    key too, so the resolve reduction, the within-bucket (subj, pred,
+    obj) sort, and the write partitioning all ride a single exchange —
+    two wide steps fewer than resolve_and_dedup + materialize.
+    Output carries the bucket column; write with
+    materialize_triples(..., prepared=True).
+    """
+    import pandas as pd
+
+    from twine_ray.stages.materialize import BUCKET_COL, add_graph_bucket
+
+    single = frozenset(
+        p for p, r in rulebase.predicates.items() if r.single_valued
+    )
+
+    # combiner: pre-reduce per batch before the exchange
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return _reduce_group(df, single)
+
+    ds = triples_ds.map_batches(_partial, batch_format="pandas")
+    ds = add_graph_bucket(ds, num_buckets)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        bucket = df[BUCKET_COL].iloc[0] if len(df) else None
+        out = _reduce_group(df.drop(columns=[BUCKET_COL]), single)
+        out = out.sort_values(["subj", "pred", "obj"], kind="mergesort")
+        out[BUCKET_COL] = bucket
+        return out
+
+    return ds.groupby(BUCKET_COL).map_groups(_final, batch_format="pandas")
