@@ -70,6 +70,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": relational.q_latest_event_per_user,
         "union_find_orders": relational.q_union_find_orders,
         "except_diff": relational.q_except,
+        "groupby_having": relational.q_groupby_having,
+        "running_sum": relational.q_running_sum,
+        "anti_join": relational.q_anti_join,
+        "string_ops": relational.q_string_ops,
+        "conditional_agg": relational.q_conditional_agg,
+        "join_multi": relational.q_join_multi,
         # --- text analysis over documents
         "doc_lang_counts": text.q_doc_lang_counts,
         "doc_nchars": text.q_doc_nchars,
@@ -151,6 +157,53 @@ def oracle_sql() -> dict[str, str]:
         "semi_join": """
             SELECT p_partkey, p_name, p_retailprice FROM part
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+        """,
+        "groupby_having": """
+            SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+            GROUP BY o_custkey HAVING COUNT(*) >= 15
+        """,
+        "running_sum": f"""
+            SELECT event_id, user_id,
+                   SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING
+                   ) / 1000000.0 AS running_value
+            FROM events
+        """,
+        "anti_join": """
+            SELECT p_partkey, p_name FROM part
+            WHERE p_partkey NOT IN (
+                SELECT l_partkey FROM lineitem WHERE l_quantity > 49
+            )
+        """,
+        "string_ops": """
+            SELECT p_partkey,
+                   UPPER(p_name) AS name_upper,
+                   LENGTH(p_name) AS name_len,
+                   SUBSTRING(p_name, 1, 5) AS name_prefix
+            FROM part
+        """,
+        "conditional_agg": """
+            SELECT
+                SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                    * 1000000) AS BIGINT) ELSE 0 END)
+                    / 1000000.0 AS urgent_rev,
+                SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                    THEN CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                    * 1000000) AS BIGINT) ELSE 0 END)
+                    / 1000000.0 AS other_rev,
+                CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "join_multi": """
+            SELECT r_name, COUNT(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "except_diff": """
             SELECT l_orderkey, l_linenumber FROM lineitem

@@ -522,3 +522,200 @@ def q_except(sf_dir: str):
     return dataset_except(
         left, right, ["l_orderkey", "l_linenumber"], distinct=True
     )
+
+
+# ---------------------------------------------------------------------------
+# additional relational coverage: having, windows, anti join, string ops,
+# conditional aggregation, multi-way join
+# ---------------------------------------------------------------------------
+
+
+def q_groupby_having(sf_dir: str):
+    """Customers with >= 15 orders (HAVING over a grouped count)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n=1)
+        return df.groupby("o_custkey", as_index=False).agg(
+            n_orders=("n", "sum")
+        )
+
+    final = (
+        orders.map_batches(_partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+    def _having(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_orders"] >= 15]
+        df["n_orders"] = df["n_orders"].astype("int64")
+        return df
+
+    return final.map_batches(_having, batch_format="pandas")
+
+
+def q_running_sum(sf_dir: str):
+    """Per-user running sum of event values over time (window function
+    analog): bucketed per-user cumulative sum, vectorized groupby
+    cumsum inside each bucket."""
+    import numpy as np
+
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        # NOT associative run-to-run — must see complete user groups, so
+        # partial=False is required at the call site.
+        df = df.assign(
+            value_u=np.round(df["value"].to_numpy() * MICRO).astype("int64")
+        )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        running = df.groupby("user_id", sort=False)["value_u"].cumsum()
+        out = df.assign(running_value=running / MICRO)
+        return out[["event_id", "user_id", "running_value"]]
+
+    return bucketed_group_reduce(ev, ["user_id"], _reduce, partial=False)
+
+
+def q_anti_join(sf_dir: str):
+    """Parts never shipped in a near-full-quantity lineitem (anti join
+    via broadcast key set; the filter keeps the anti set non-empty)."""
+    from twine_ray.state.broadcast import broadcast
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def _hot(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["l_quantity"], 49.0)).select(
+            ["l_partkey"]
+        )
+
+    li_keys = li.map_batches(_hot, batch_format="pyarrow").unique("l_partkey")
+    key_ref = broadcast(set(li_keys))
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    class _AntiFilter:
+        def __init__(self, ref) -> None:
+            from twine_ray.state.broadcast import resolve
+
+            self.keys = pa.array(sorted(resolve(ref)), type=pa.int64())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.invert(pc.is_in(t["p_partkey"], value_set=self.keys))
+            )
+
+    return part.map_batches(
+        _AntiFilter,
+        fn_constructor_kwargs={"ref": key_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+
+
+def q_string_ops(sf_dir: str):
+    """Vectorized string kernels over part names (scalar-function
+    coverage, SURVEY.md §2.8): upper, length, prefix extraction."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        name = t["p_name"]
+        return pa.Table.from_pydict(
+            {
+                "p_partkey": t["p_partkey"],
+                "name_upper": pc.utf8_upper(name),
+                "name_len": pc.cast(pc.utf8_length(name), pa.int64()),
+                "name_prefix": pc.utf8_slice_codeunits(name, 0, 5),
+            }
+        )
+
+    return part.map_batches(_f, batch_format="pyarrow")
+
+
+def q_conditional_agg(sf_dir: str):
+    """SUM(CASE WHEN ...) per returnflag: urgent-vs-rest revenue split
+    requires a join + conditional aggregation."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"].to_numpy() * (
+            1.0 - df["l_discount"].to_numpy()
+        )
+        rev_u = np.round(rev * MICRO).astype("int64")
+        urgent = (df["o_orderpriority"] == "1-URGENT").to_numpy()
+        return pd.DataFrame(
+            {
+                "urgent_rev": [int(rev_u[urgent].sum())],
+                "other_rev": [int(rev_u[~urgent].sum())],
+                "n_urgent": [int(urgent.sum())],
+            }
+        )
+
+    parts = joined.map_batches(_partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "urgent_rev": [float(parts["urgent_rev"].sum()) / MICRO],
+            "other_rev": [float(parts["other_rev"].sum()) / MICRO],
+            "n_urgent": [int(parts["n_urgent"].sum())],
+        }
+    )
+
+
+def q_join_multi(sf_dir: str):
+    """3-way broadcast join region ⋈ nation ⋈ customer -> customers per
+    region (dimension chain collapsed into one composed lookup)."""
+    from ray.data.aggregate import Sum
+
+    from twine_ray.state.broadcast import broadcast
+
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_regionkey"]).to_pandas()
+    n2r = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )[["n_nationkey", "r_name"]]
+    ref = broadcast(n2r)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    joined = cust.map_batches(
+        _BroadcastJoiner,
+        fn_constructor_kwargs={
+            "small_ref": ref,
+            "small_key": "n_nationkey",
+            "batch_key": "c_nationkey",
+            "cols": {"r_name": "r_name"},
+        },
+        batch_format="pandas",
+        concurrency=(1, 2),
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n=1)
+        return df.groupby("r_name", as_index=False).agg(
+            n_customers=("n", "sum")
+        )
+
+    final = (
+        joined.map_batches(_partial, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+    )
+
+    def _fix(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_customers"] = df["n_customers"].astype("int64")
+        return df
+
+    return final.map_batches(_fix, batch_format="pandas")
