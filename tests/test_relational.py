@@ -1,0 +1,82 @@
+"""Relational operator parity vs DuckDB at sf0.001 (fast subset; the
+full sweep is tools/check_oracles.py / the driver's correctness gate).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# fast, shuffle-light subset — one per operator family
+SUBSET = [
+    "filter_project",
+    "groupby_agg",
+    "join_broadcast",
+    "sort_topk",
+    "distinct",
+    "agg_global",
+    "union_counts",
+    "latest_event_per_user",
+    "doc_lang_counts",
+    "doc_nchars",
+    "dedup_exact",
+    "string_ops",
+    "groupby_having",
+    "join_multi",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        if str(df[c].dtype).startswith(("int", "uint")):
+            df[c] = df[c].astype("int64")
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(ray_session, duck, name):
+    import pyarrow as pa
+
+    import __ray_entry__ as entrymod
+
+    fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    res = fn(SF)
+    if isinstance(res, pd.DataFrame):
+        got = res
+    elif isinstance(res, pa.Table):
+        got = res.to_pandas()
+    else:
+        got = res.to_pandas()
+    got = _canon(got)
+    want = _canon(duck.execute(sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
