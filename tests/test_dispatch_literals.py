@@ -1,0 +1,104 @@
+"""M4 MIME dispatch + M8 literal normalization."""
+
+from __future__ import annotations
+
+from twine_ray.stages.literals import (
+    canon_datetime,
+    canon_decimal,
+    canon_integer,
+)
+
+
+def test_canon_integer():
+    assert canon_integer("007") == "7"
+    assert canon_integer("+5") == "5"
+    assert canon_integer("-0") == "0"
+    assert canon_integer("-42") == "-42"
+    assert canon_integer("1.5") == "1.5"  # not an integer → untouched
+    assert canon_integer("abc") == "abc"
+
+
+def test_canon_decimal():
+    assert canon_decimal("1.50") == "1.5"
+    assert canon_decimal(".5") == "0.5"
+    assert canon_decimal("3") == "3.0"
+    assert canon_decimal("+07.10") == "7.1"
+    assert canon_decimal("-0.0") == "0.0"
+    assert canon_decimal("x") == "x"
+
+
+def test_canon_datetime():
+    assert canon_datetime("2024-01-02 03:04:05") == "2024-01-02T03:04:05"
+    assert canon_datetime("2024-01-02T03:04:05.500") == \
+        "2024-01-02T03:04:05.5"
+    assert canon_datetime("2024-01-02T03:04:05+00:00") == \
+        "2024-01-02T03:04:05Z"
+    assert canon_datetime("2024-01-02T03:04:05+02:00") == \
+        "2024-01-02T03:04:05+02:00"
+    assert canon_datetime("not a date") == "not a date"
+
+
+def test_normalize_literals_stage(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from twine_ray.stages.literals import XSD_INTEGER, normalize_literals
+    from twine_ray.stages.triples import TRIPLES_SCHEMA
+
+    rows = [
+        {"graph": "g", "subj": "s", "pred": "p", "obj": "007",
+         "obj_is_lit": True, "obj_dt": XSD_INTEGER, "obj_lang": "",
+         "score": 1},
+        {"graph": "g", "subj": "s", "pred": "p2", "obj": "Bonjour",
+         "obj_is_lit": True, "obj_dt": "", "obj_lang": "FR", "score": 1},
+        {"graph": "g", "subj": "s", "pred": "p3", "obj": "http://o",
+         "obj_is_lit": False, "obj_dt": "", "obj_lang": "", "score": 1},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=TRIPLES_SCHEMA))
+    out = normalize_literals(ds).to_pandas().set_index("pred")
+    assert out.loc["p", "obj"] == "7"
+    assert out.loc["p2", "obj_lang"] == "fr"
+    assert out.loc["p3", "obj"] == "http://o"  # URI untouched
+
+
+def test_dispatch_routes_by_mime(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from twine_ray.pipelines.dispatch import (
+        MESSAGES_SCHEMA,
+        dispatch_messages,
+    )
+    from twine_ray.pipelines.kg import default_alias_rows
+    from twine_ray.state.rulebase import DC_TITLE
+
+    msgs = [
+        {
+            "uri": "http://ex.org/page1",
+            "content_type": "text/html",
+            "payload": b"<html><head><title>Page One</title></head>"
+                       b"<body><p>Alder Analytics announced a new "
+                       b"initiative this quarter.</p></body></html>",
+        },
+        {
+            "uri": "http://ex.org/dump1",
+            "content_type": "application/n-quads",
+            "payload": b'<http://a> <http://p> "v" <http://g9> .\n',
+        },
+        {
+            "uri": "http://ex.org/unknown",
+            "content_type": "application/x-mystery",
+            "payload": b"????",
+        },
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(msgs, schema=MESSAGES_SCHEMA))
+    triples, counts = dispatch_messages(
+        ds, {"alias_rows": default_alias_rows(n_entities=24)}
+    )
+    df = triples.to_pandas()
+    assert counts["text/html"] == 1
+    assert counts["application/n-quads"] == 1
+    assert counts["application/x-mystery"] == -1  # dropped
+    assert (df["graph"] == "http://g9").any()  # quad context respected
+    titles = df[df["pred"] == DC_TITLE]
+    assert list(titles["obj"]) == ["Page One"]
