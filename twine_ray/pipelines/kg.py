@@ -68,6 +68,33 @@ def kg_triples_dataset(pages_ds, alias_rows, *, concurrency=4,
     return resolve_and_dedup(rewritten, rulebase)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _shuffle_strategy(name: str | None):
+    """Scope a Ray Data shuffle strategy to one execution region.
+
+    The sort-based default degenerates when the groupby key has only
+    num_buckets distinct values (range boundaries land inside keys →
+    unbalanced reducers); HASH_SHUFFLE keeps the phase-2 fused exchange
+    balanced.  Scoped so page-scale phase-1 exchanges keep the default.
+    """
+    if name is None:
+        yield
+        return
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    old = ctx.shuffle_strategy
+    ctx.shuffle_strategy = getattr(ShuffleStrategy, name)
+    try:
+        yield
+    finally:
+        ctx.shuffle_strategy = old
+
+
 def run_kg_pipeline(
     pages_ds,
     out_dir: str,
@@ -77,6 +104,7 @@ def run_kg_pipeline(
     concurrency=4,
     resume: bool = True,
     rulebase=DEFAULT_RULEBASE,
+    phase2_shuffle: str | None = "HASH_SHUFFLE",
 ) -> dict:
     """Production path: two-phase, resumable (SURVEY.md §4).
 
@@ -128,11 +156,10 @@ def run_kg_pipeline(
     t1 = time.perf_counter()
 
     # ---- phase 2: global canonicalization over the checkpointed raw ----
-    # pin the raw read: it feeds BOTH the edge projection and the canon
-    # rewrite — one Parquet scan, second consumer reads the object store
-    raw_ds = read_triple_store(raw_dir).drop_columns(
-        ["graph_bucket"]
-    ).materialize()
+    # the raw read feeds BOTH the edge projection and the canon rewrite;
+    # two lazy Parquet scans beat pinning 100%% of raw in the object
+    # store (the edge scan prunes to the sameAs rows immediately)
+    raw_ds = read_triple_store(raw_dir).drop_columns(["graph_bucket"])
     canon_rows = connected_components(sameas_edges(raw_ds)).take_all()
     t2 = time.perf_counter()
     rewritten = rewrite_canon(raw_ds, canon_rows)
@@ -141,9 +168,10 @@ def run_kg_pipeline(
 
     # store is rebuilt each run: clear stale markers so buckets replace
     ckpt_dir_reset(store_dir)
-    phase2 = materialize_triples(
-        resolved, store_dir, num_buckets=num_buckets, prepared=True
-    )
+    with _shuffle_strategy(phase2_shuffle):
+        phase2 = materialize_triples(
+            resolved, store_dir, num_buckets=num_buckets, prepared=True
+        )
     t3 = time.perf_counter()
     from twine_ray.stages.materialize import read_lineage
 

@@ -43,11 +43,13 @@ class CanonRewriter:
         # drop raw sameAs statements — replaced by membership triples
         df = df[df["pred"] != OWL_SAMEAS]
         cmap = self.map
-        df["subj"] = df["subj"].map(lambda s: cmap.get(s, s))
+        # vectorized dict lookup: .map(dict) is a C hash probe; misses
+        # become NaN and fall back to the original value
+        subj_new = df["subj"].map(cmap)
+        df["subj"] = subj_new.fillna(df["subj"])
         is_uri = ~df["obj_is_lit"]
-        df.loc[is_uri, "obj"] = df.loc[is_uri, "obj"].map(
-            lambda s: cmap.get(s, s)
-        )
+        obj_new = df.loc[is_uri, "obj"].map(cmap)
+        df.loc[is_uri, "obj"] = obj_new.fillna(df.loc[is_uri, "obj"])
         return pa.Table.from_pandas(df, schema=TRIPLES_SCHEMA,
                                     preserve_index=False)
 
