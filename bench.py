@@ -87,6 +87,19 @@ def bench_kg(sf_dir: str, num_cpus: int) -> dict:
     pages = rd.read_parquet(corpus_dir)
     n_pages = pages.count()  # warms the page-cache read untimed
 
+    # Untimed warm-up run on a small slice: spawns Ray worker
+    # processes, actor pools and shuffle aggregators once, so the timed
+    # run measures compute + shuffle rather than process cold-start
+    # (cold-start grows with num_cpus and would otherwise anti-scale
+    # the comparison; protocol documented in BASELINE.md).
+    warm_dir = f"/tmp/bench_kg_warm_{num_cpus}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    run_kg_pipeline(
+        pages.limit(2000), warm_dir, default_alias_rows(),
+        num_buckets=8, concurrency=conc, resume=False,
+    )
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
     t0 = time.perf_counter()
     res = run_kg_pipeline(
         pages,

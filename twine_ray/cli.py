@@ -1,0 +1,149 @@
+"""One-shot CLI — the ``twine -c twine.conf -t <mime> <file>`` analog
+(SURVEY.md §3.2, ``twine:cli/``): run the full workflow on local input
+without the "queue" (Parquet shard list).
+
+Usage:
+    python -m twine_ray.cli pages <pages.parquet|dir> --out /tmp/kg_out
+    python -m twine_ray.cli message -t text/html <file.html> --uri http://x
+    python -m twine_ray.cli message -t application/n-quads <dump.nq>
+    python -m twine_ray.cli workflow <pages.parquet> --stages extract,dedup-pages
+
+Owns its Ray session (the driver-contract functions in __ray_entry__
+never init Ray; CLI entry points do, guarded).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_pages(args) -> int:
+    import ray.data as rd
+
+    from twine_ray.pipelines.kg import default_alias_rows, run_kg_pipeline
+
+    _ray_session()
+    pages = rd.read_parquet(args.input)
+    res = run_kg_pipeline(
+        pages, args.out, default_alias_rows(),
+        num_buckets=args.buckets, resume=not args.no_resume,
+    )
+    print(json.dumps(res["metrics"]))
+    return 0
+
+
+def cmd_message(args) -> int:
+    """Single (content-type, payload) message through MIME dispatch —
+    the exact `twine -t` shape."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from twine_ray.pipelines.dispatch import (
+        MESSAGES_SCHEMA,
+        dispatch_messages,
+    )
+    from twine_ray.pipelines.kg import default_alias_rows
+
+    _ray_session()
+    payload = open(args.input, "rb").read()
+    uri = args.uri or f"file://{args.input}"
+    msgs = rd.from_arrow(
+        pa.Table.from_pylist(
+            [{"uri": uri, "content_type": args.type, "payload": payload}],
+            schema=MESSAGES_SCHEMA,
+        )
+    )
+    triples, counts = dispatch_messages(
+        msgs, {"alias_rows": default_alias_rows()}
+    )
+    df = triples.to_pandas()
+    if args.out:
+        df.to_parquet(args.out)
+    else:
+        from twine_ray.sources.nquads import triple_row_to_nquad
+
+        for row in df.to_dict("records"):
+            print(triple_row_to_nquad(row))
+    unroutable = [m for m, c in counts.items() if c < 0]
+    if unroutable:
+        print(f"warning: no processor for {unroutable}", file=sys.stderr)
+        return 2
+    return 0
+
+
+def cmd_workflow(args) -> int:
+    import ray.data as rd
+
+    from twine_ray.pipelines.kg import default_alias_rows
+    from twine_ray.pipelines.workflow import (
+        WorkflowContext,
+        load_workflow_config,
+        run_workflow,
+    )
+
+    _ray_session()
+    if args.config:
+        stages, opts = load_workflow_config(args.config)
+    else:
+        stages, opts = (
+            args.stages.split(",") if args.stages else None
+        ), {}
+    ctx = WorkflowContext(
+        alias_rows=default_alias_rows(),
+        num_buckets=int(opts.get("num_buckets", 32)),
+        out_dir=args.out,
+    )
+    out = run_workflow(rd.read_parquet(args.input), stages, ctx)
+    n = out.count()
+    print(json.dumps({"rows": n, "stages": stages or "default"}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="twine_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("pages", help="full KG pipeline over pages parquet")
+    pp.add_argument("input")
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--buckets", type=int, default=32)
+    pp.add_argument("--no-resume", action="store_true")
+    pp.set_defaults(fn=cmd_pages)
+
+    pm = sub.add_parser("message", help="one message through MIME dispatch")
+    pm.add_argument("input")
+    pm.add_argument("-t", "--type", required=True)
+    pm.add_argument("--uri")
+    pm.add_argument("--out")
+    pm.set_defaults(fn=cmd_message)
+
+    pw = sub.add_parser("workflow", help="config-ordered stage chain")
+    pw.add_argument("input")
+    pw.add_argument("--stages")
+    pw.add_argument("--config")
+    pw.add_argument("--out")
+    pw.set_defaults(fn=cmd_workflow)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -447,7 +447,8 @@ def q_events_window(sf_dir: str):
         return pd.DataFrame(
             {
                 "event_type": df["event_type"],
-                "window_start": df["window_start"],
+                # us precision: matches the parquet/DuckDB timestamp unit
+                "window_start": df["window_start"].astype("datetime64[us]"),
                 "n_events": df["n_events"].astype("int64"),
                 "sum_value": df["sum_value"] / MICRO,
             }
