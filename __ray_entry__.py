@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "ann_topk": similarity.q_ann_topk_ids,
         "ann_lsh": similarity.q_ann_lsh,
+        "ann_ivf": similarity.q_ann_ivf,
         "embed_neardup": similarity.q_embed_neardup_ids,
         # --- KG pipeline (non-SQL-expressible; P/R-gated in tests/)
         "kg_flagship": kg_flagship,

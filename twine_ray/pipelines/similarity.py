@@ -137,57 +137,76 @@ def q_ann_topk(sf_dir: str, k: int = DEFAULT_K):
 
 
 class _SrpBucket:
-    """Signed-random-projection bucket key per vector (deterministic
-    hyperplanes, built once per actor)."""
+    """Signed-random-projection bucket keys, MULTI-TABLE (deterministic
+    hyperplanes, built once per actor).  A single SRP table has poor
+    recall on weakly-clustered data; T tables OR-amplify: a vector is a
+    candidate if it shares a bucket with the query in ANY table."""
 
-    def __init__(self, dim: int, n_planes: int = 8, seed: int = 7) -> None:
+    def __init__(self, dim: int, n_tables: int = 8, n_planes: int = 5,
+                 seed: int = 7) -> None:
         rng = np.random.RandomState(seed)
-        self.planes = rng.standard_normal((n_planes, dim))
+        self.planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    def keys(self, mat: np.ndarray) -> np.ndarray:
+        """(n, T) int bucket keys."""
+        out = np.empty((mat.shape[0], self.planes.shape[0]),
+                       dtype=np.int64)
+        weights = 1 << np.arange(self.planes.shape[1])
+        for t in range(self.planes.shape[0]):
+            bits = (mat @ self.planes[t].T) > 0
+            out[:, t] = (bits * weights).sum(axis=1)
+        return out
+
+
+class _LshCandidateFilter:
+    """Keep rows sharing a bucket with any query in any table."""
+
+    def __init__(self, dim: int, qkeys_ref, n_tables: int,
+                 n_planes: int) -> None:
+        from twine_ray.state.broadcast import resolve
+
+        self.srp = _SrpBucket(dim, n_tables, n_planes)
+        qkeys = resolve(qkeys_ref)  # (n_queries, T)
+        self.qsets = [set(qkeys[:, t].tolist())
+                      for t in range(qkeys.shape[1])]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        bits = (mat @ self.planes.T) > 0
-        keys = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
-        return pd.DataFrame(
-            {
-                "vec_id": df["vec_id"],
-                "bucket": keys.astype(np.int64),
-                "embedding": df["embedding"],
-            }
-        )
+        keys = self.srp.keys(mat)
+        mask = np.zeros(len(df), dtype=bool)
+        for t, qset in enumerate(self.qsets):
+            mask |= np.isin(keys[:, t], list(qset))
+        return df[mask]
 
 
-def q_ann_lsh(sf_dir: str, k: int = DEFAULT_K, n_planes: int = 6):
-    """Approximate top-k: query and candidates must share an SRP
-    bucket.  Same output schema as q_ann_topk (approximate contents —
-    compared to the exact baseline by recall in tests, not equality)."""
+def q_ann_lsh(sf_dir: str, k: int = DEFAULT_K, n_tables: int = 8,
+              n_planes: int = 5):
+    """Approximate top-k via multi-table SRP-LSH: candidates must share
+    a bucket with the query in at least one table; exact cosine over
+    the surviving fraction.  Same output schema as q_ann_topk
+    (approximate contents — compared by recall in tests)."""
     from twine_ray.state.broadcast import broadcast
 
     ds = _emb(sf_dir)
-    first = ds.take(1)[0]
-    dim = len(first["embedding"])
+    qdf = ds.filter(expr=f"vec_id < {N_QUERIES}").to_pandas()
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    dim = qmat.shape[1]
+    srp = _SrpBucket(dim, n_tables, n_planes)
+    qkeys_ref = broadcast(srp.keys(qmat))
 
-    bucketed = ds.map_batches(
-        _SrpBucket,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+    cand = ds.map_batches(
+        _LshCandidateFilter,
+        fn_constructor_kwargs={
+            "dim": dim, "qkeys_ref": qkeys_ref,
+            "n_tables": n_tables, "n_planes": n_planes,
+        },
         batch_format="pandas",
         batch_size=2048,
         concurrency=(1, 2),
     )
 
-    qdf = bucketed.filter(expr=f"vec_id < {N_QUERIES}").to_pandas()
-    qbuckets = sorted(set(qdf["bucket"].tolist()))
-
-    def _in_buckets(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["bucket"].isin(qbuckets)]
-
-    cand = bucketed.map_batches(_in_buckets, batch_format="pandas")
-
     queries_ref = broadcast(
-        {
-            "vec_id": qdf["vec_id"].to_numpy(),
-            "mat": np.stack(qdf["embedding"].to_numpy()),
-        }
+        {"vec_id": qdf["vec_id"].to_numpy(), "mat": qmat}
     )
     parts = cand.map_batches(
         _CosineTopK,
@@ -219,3 +238,98 @@ def q_embed_neardup(sf_dir: str, threshold: float = 0.4,
             "cosine": np.round(sims[iu[hit], ju[hit]], ROUND),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF variant (coarse-quantizer scale path)
+# ---------------------------------------------------------------------------
+
+
+def _train_centroids(mat: np.ndarray, n_lists: int,
+                     iters: int = 3) -> np.ndarray:
+    """Deterministic mini k-means: init = first n_lists (normalized)
+    vectors, a few Lloyd iterations. No randomness — replay-safe."""
+    cents = _normalize(mat[:n_lists].copy())
+    for _ in range(iters):
+        sims = mat @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_lists):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+class _IvfAssign:
+    """Per-batch coarse assignment against broadcast centroids."""
+
+    def __init__(self, centroids_ref) -> None:
+        from twine_ray.state.broadcast import resolve
+
+        self.cents = resolve(centroids_ref)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        mat = _normalize(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        )
+        assign = (mat @ self.cents.T).argmax(axis=1)
+        return df.assign(ivf_list=assign.astype(np.int64))
+
+
+def q_ann_ivf(sf_dir: str, k: int = DEFAULT_K, n_lists: int = 16,
+              n_probe: int = 4):
+    """IVF approximate top-k: vectors are bucketed by nearest coarse
+    centroid (trained deterministically on a driver-side sample); each
+    query probes its ``n_probe`` nearest lists only.  Same output
+    schema as q_ann_topk; compared to the exact baseline by recall in
+    tests.
+
+    Scale path: training samples are driver-side (bounded), assignment
+    and search are ``map_batches`` over the full table, and the probed
+    fraction (n_probe / n_lists) bounds the scanned volume.
+    """
+    from twine_ray.state.broadcast import broadcast
+
+    ds = _emb(sf_dir)
+    sample = ds.limit(2048).to_pandas()
+    smat = _normalize(
+        np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    )
+    cents = _train_centroids(smat, min(n_lists, len(smat)))
+    cents_ref = broadcast(cents)
+
+    assigned = ds.map_batches(
+        _IvfAssign,
+        fn_constructor_kwargs={"centroids_ref": cents_ref},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 2),
+    )
+
+    qdf = assigned.filter(expr=f"vec_id < {N_QUERIES}").to_pandas()
+    qmat = _normalize(
+        np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    )
+    probe_lists = np.argsort(-(qmat @ cents.T), axis=1)[:, :n_probe]
+    wanted = sorted({int(l) for row in probe_lists for l in row})
+
+    def _in_lists(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["ivf_list"].isin(wanted)]
+
+    cand = assigned.map_batches(_in_lists, batch_format="pandas")
+
+    queries_ref = broadcast(
+        {
+            "vec_id": qdf["vec_id"].to_numpy(),
+            "mat": np.stack(qdf["embedding"].to_numpy()),
+        }
+    )
+    parts = cand.map_batches(
+        _CosineTopK,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 2),
+    ).to_pandas()
+    return _merge_topk(parts, k)
