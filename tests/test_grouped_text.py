@@ -1,0 +1,96 @@
+"""bucketed_group_reduce hash determinism + text-pipeline behaviors."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from twine_ray.stages.grouped import BUCKET_COL, add_key_bucket
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(max_size=8), st.integers(0, 5)),
+        min_size=1, max_size=30,
+    )
+)
+def test_key_bucket_deterministic_and_row_order_free(rows):
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    b1 = add_key_bucket(df, ["k", "v"], 16)
+    b2 = add_key_bucket(df.iloc[::-1].reset_index(drop=True), ["k", "v"], 16)
+    m1 = dict(zip(zip(b1["k"], b1["v"]), b1[BUCKET_COL]))
+    m2 = dict(zip(zip(b2["k"], b2["v"]), b2[BUCKET_COL]))
+    assert m1 == m2
+    assert ((b1[BUCKET_COL] >= 0) & (b1[BUCKET_COL] < 16)).all()
+
+
+def test_same_key_same_bucket_across_frames():
+    a = add_key_bucket(pd.DataFrame({"k": ["x", "y"]}), ["k"], 32)
+    b = add_key_bucket(pd.DataFrame({"k": ["y", "x", "z"]}), ["k"], 32)
+    ma = dict(zip(a["k"], a[BUCKET_COL]))
+    mb = dict(zip(b["k"], b[BUCKET_COL]))
+    assert ma["x"] == mb["x"] and ma["y"] == mb["y"]
+
+
+def test_doc_quality_matches_scalar_functions(ray_session):
+    import pyarrow.parquet as pq
+
+    from twine_ray.functions.quality import quality_features, quality_score
+    from twine_ray.pipelines.text import q_doc_quality
+
+    sf = "/root/testdata/sf0.001"
+    out = q_doc_quality(sf).to_pandas().set_index("doc_id")
+    texts = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    for doc_id, text in list(zip(texts["doc_id"], texts["text"]))[:25]:
+        feats = quality_features(text or "")
+        assert out.loc[doc_id, "n_chars"] == round(feats["n_chars"], 4)
+        assert out.loc[doc_id, "quality"] == round(
+            quality_score(feats), 4
+        )
+
+
+def test_doc_langid_runs_on_documents(ray_session):
+    """Structural check only: the driver's documents.lang labels are
+    random (unrelated to the English word-salad text), so agreement
+    with them is meaningless — accuracy is asserted on the synthetic
+    pages corpus below, where content language is real."""
+    from twine_ray.pipelines.text import q_doc_langid
+
+    df = q_doc_langid("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500
+    assert set(df.columns) == {"doc_id", "lang_stored", "lang_detected"}
+
+
+def test_langid_accuracy_on_synth_pages(ray_session):
+    """German vs English filler sentences in the synthetic corpus are
+    real language content — detection must track the page lang."""
+    import ray.data as rd
+
+    from twine_ray.functions.langid import detect_lang
+    from twine_ray.sources.pages import pages_table
+    from twine_ray.sources.world import synth_pages
+    from twine_ray.stages.extract import extract_text
+
+    rows, _ = synth_pages(60, seed=42, n_entities=24)
+    ext = extract_text(rd.from_arrow(pages_table(rows))).to_pandas()
+    # German pages are mostly German filler; entity sentences are
+    # English — only assert the clear cases
+    de = ext[ext["lang"] == "de"]
+    got = de["text"].map(detect_lang)
+    assert (got.isin(["de", "en"])).all()
+    en = ext[ext["lang"] == "en"]
+    got_en = en["text"].map(detect_lang)
+    assert (got_en == "en").mean() >= 0.9
+
+
+def test_doc_fingerprints_deterministic(ray_session):
+    from twine_ray.pipelines.text import q_doc_fingerprints
+
+    a = q_doc_fingerprints("/root/testdata/sf0.001").to_pandas()
+    b = q_doc_fingerprints("/root/testdata/sf0.001").to_pandas()
+    key = a.sort_values("doc_id").reset_index(drop=True)
+    assert key.equals(b.sort_values("doc_id").reset_index(drop=True))

@@ -32,7 +32,13 @@ def add_key_bucket(df: pd.DataFrame, key_cols: list[str],
 
     h = np.zeros(len(df), dtype=np.uint64)
     for c in key_cols:
-        hc = pd.util.hash_pandas_object(df[c], index=False).to_numpy()
+        # categorize=False: the categorize fast path runs through
+        # pd.factorize, whose hashtable NUL-truncates C strings — a
+        # string key containing '\\x00' would collide with its prefix
+        # and hash first-seen-order-dependently (hypothesis-caught)
+        hc = pd.util.hash_pandas_object(
+            df[c], index=False, categorize=False
+        ).to_numpy()
         # deterministic per-column mix (uint64 wraparound is defined)
         h = h * np.uint64(1099511628211) + hc
     return df.assign(**{BUCKET_COL: (h % num_buckets).astype("int32")})
