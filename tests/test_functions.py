@@ -142,3 +142,22 @@ def test_quality():
     fg, fb = quality_features(good), quality_features(bad)
     assert quality_score(fg) > quality_score(fb)
     assert fg["n_chars"] == len(good)
+
+
+def test_batched_minhash_equals_scalar_spec():
+    import numpy as np
+
+    from twine_ray.pipelines.dedup import _MinHashStage
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "one two",
+        "completely different text about other topics entirely now",
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    stage = _MinHashStage()
+    batched = stage.signatures(texts)
+    for i, t in enumerate(texts):
+        scalar = minhash_signature(word_shingles(t), stage.a, stage.b)
+        assert np.array_equal(batched[i], scalar), i

@@ -34,10 +34,20 @@ def word_shingles(text: str, k: int = 3) -> set[str]:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
-def _h32(s: str) -> int:
-    return int.from_bytes(
-        hashlib.blake2b(s.encode("utf-8"), digest_size=4).digest(), "big"
-    )
+def shingle_hashes(shingles) -> np.ndarray:
+    """Vectorized stable 31-bit hashes for a sequence of shingles
+    (pandas SipHash with its fixed default key, categorize disabled —
+    see twine_ray.stages.grouped for why).  The spec for both the
+    scalar and the batched MinHash paths."""
+    import pandas as pd
+
+    if len(shingles) == 0:
+        return np.empty(0, dtype=np.uint64)
+    h = pd.util.hash_pandas_object(
+        pd.Series(list(shingles), dtype=object), index=False,
+        categorize=False,
+    ).to_numpy()
+    return h % np.uint64(_MERSENNE31)
 
 
 def minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -57,8 +67,7 @@ def minhash_signature(
     """MinHash signature (uint64 vector, len == num_perm)."""
     if not shingles:
         return np.full(len(a), _MERSENNE31, dtype=np.uint64)
-    base = np.fromiter((_h32(s) for s in shingles), dtype=np.uint64)
-    base %= np.uint64(_MERSENNE31)
+    base = shingle_hashes(sorted(shingles))
     # (a * x + b) mod p; min over shingles. All intermediates < 2^62.
     vals = (np.outer(base, a) + b) % np.uint64(_MERSENNE31)
     return vals.min(axis=0)
@@ -73,6 +82,12 @@ def lsh_band_keys(sig: np.ndarray, bands: int) -> list[str]:
         h = hashlib.blake2b(chunk, digest_size=8).hexdigest()
         keys.append(f"{i}:{h}")
     return keys
+
+
+def _h32(s: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=4).digest(), "big"
+    )
 
 
 def jaccard(a: set, b: set) -> float:

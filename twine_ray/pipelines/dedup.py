@@ -84,16 +84,46 @@ def q_dedup_exact(sf_dir: str):
 
 
 class _MinHashStage:
-    """Signature + band keys per doc; hash coefficients once per actor."""
+    """Signature + band keys per doc; hash coefficients once per actor.
+
+    Signatures for the WHOLE batch are computed in one vectorized pass:
+    all shingles hashed at once (vectorized SipHash), the (a*x+b) mod p
+    permutation matrix built once, and per-doc minima taken with
+    ``np.minimum.reduceat`` over the flat shingle array — no per-doc
+    numpy dispatch, identical output to the scalar spec
+    (``functions.fingerprint.minhash_signature``, cross-checked in
+    tests)."""
 
     def __init__(self, num_perm: int = NUM_PERM, bands: int = BANDS) -> None:
         self.a, self.b = minhash_params(num_perm)
         self.bands = bands
 
+    def signatures(self, texts) -> np.ndarray:
+        from twine_ray.functions.fingerprint import (
+            _MERSENNE31,
+            shingle_hashes,
+        )
+
+        shingle_lists = [sorted(word_shingles(t or "")) for t in texts]
+        counts = np.array([len(s) for s in shingle_lists], dtype=np.int64)
+        flat = [s for lst in shingle_lists for s in lst]
+        sigs = np.full((len(texts), len(self.a)), _MERSENNE31,
+                       dtype=np.uint64)
+        if flat:
+            base = shingle_hashes(flat)  # (n_shingles,)
+            vals = (base[:, None] * self.a[None, :] + self.b[None, :]) \
+                % np.uint64(_MERSENNE31)
+            nonempty = counts > 0
+            starts = np.zeros(len(texts), dtype=np.int64)
+            starts[1:] = np.cumsum(counts)[:-1]
+            mins = np.minimum.reduceat(vals, starts[nonempty], axis=0)
+            sigs[nonempty] = mins
+        return sigs
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sigs = self.signatures(df["text"].tolist())
         rows = {"doc_id": [], "band_key": []}
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = minhash_signature(word_shingles(text or ""), self.a, self.b)
+        for doc_id, sig in zip(df["doc_id"], sigs):
             for key in lsh_band_keys(sig, self.bands):
                 rows["doc_id"].append(int(doc_id))
                 rows["band_key"].append(key)
@@ -130,73 +160,55 @@ def _candidate_pairs(band_rows_ds):
     return bucketed_group_reduce(pairs, ["a", "b"], _dedup)
 
 
-class _JaccardVerify:
-    """Exact Jaccard over broadcast shingle sets (small-side lookup)."""
-
-    def __init__(self, shingles_ref, threshold: float) -> None:
-        from twine_ray.state.broadcast import resolve
-
-        self.shingles = resolve(shingles_ref)
-        self.threshold = threshold
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sims = [
-            jaccard(self.shingles.get(a, set()), self.shingles.get(b, set()))
-            for a, b in zip(df["a"], df["b"])
-        ]
-        df = df.assign(jaccard=np.round(sims, 4))
-        return df[df["jaccard"] >= self.threshold]
-
-
 def q_dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
     """Near-dup clusters via MinHash-LSH; returns (doc_id, cluster_rep,
     n_cluster) for docs in clusters of size >= 2.
 
-    The verify stage needs shingle sets for candidate docs only; at this
-    corpus scale they are broadcast whole — the scale path shards them
-    by doc bucket (documented partitioning assumption).
+    Stages: batched signatures -> band explode -> bucket groupby ->
+    candidate pairs (vectorized self-merge per bucket).  Verification
+    then touches ONLY candidate documents: their texts are fetched with
+    a pushdown filter and the exact Jaccard check runs on that small
+    set — the corpus itself is never collected (LSH contract: the
+    candidate set is orders of magnitude smaller than the corpus).
     """
-    from twine_ray.state.broadcast import broadcast
-
     ds = _docs(sf_dir, ["doc_id", "text"])
     band_rows = ds.map_batches(
         _MinHashStage, batch_format="pandas", batch_size=512,
         concurrency=(1, 2),
     )
-    pairs = _candidate_pairs(band_rows)
+    pairs = _candidate_pairs(band_rows).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "cluster_rep": pd.Series(dtype="int64"),
+             "n_cluster": pd.Series(dtype="int64")}
+        )
 
-    # shingle sets for verification (broadcast small side)
-    shingle_rows = ds.map_batches(
-        lambda df: pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "shingles": [
-                    "\x1f".join(sorted(word_shingles(t or "")))
-                    for t in df["text"]
-                ],
-            }
-        ),
-        batch_format="pandas",
-    ).take_all()
+    cand_ids = sorted(set(pairs["a"]).union(pairs["b"]))
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    id_set = pa.array(cand_ids, type=pa.int64())
+
+    def _only_cands(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=id_set))
+
+    cand_rows = ds.map_batches(_only_cands,
+                               batch_format="pyarrow").take_all()
     shingles = {
-        r["doc_id"]: set(r["shingles"].split("\x1f")) if r["shingles"] else set()
-        for r in shingle_rows
+        int(r["doc_id"]): word_shingles(r["text"] or "") for r in cand_rows
     }
-    shingles_ref = broadcast(shingles)
 
-    verified = pairs.map_batches(
-        _JaccardVerify,
-        fn_constructor_kwargs={
-            "shingles_ref": shingles_ref, "threshold": threshold,
-        },
-        batch_format="pandas",
-        concurrency=(1, 2),
-    )
+    sims = np.array([
+        jaccard(shingles.get(a, set()), shingles.get(b, set()))
+        for a, b in zip(pairs["a"], pairs["b"])
+    ])
+    verified = pairs[sims >= threshold]
 
-    # connected components over verified pairs -> clusters
-    edge_rows = verified.take_all()
     roots = union_find_local(
-        [(f"{int(r['a']):012d}", f"{int(r['b']):012d}") for r in edge_rows]
+        [(f"{int(a):012d}", f"{int(b):012d}")
+         for a, b in zip(verified["a"], verified["b"])]
     )
     sizes: dict[str, int] = {}
     for root in roots.values():
