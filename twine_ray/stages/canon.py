@@ -236,15 +236,20 @@ def connected_components(edges_ds, driver_limit: int = DRIVER_EDGE_LIMIT,
     import pandas as pd
 
     def _sizes(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-bucket: one value_counts over thousands of
+        # labels at once (never one Python call per component).
         # right-side key gets its own name: Ray's hash join mishandles
         # identically-named keys on both sides (observed in 2.49).
+        vc = df["label"].value_counts()
         return pd.DataFrame(
-            {"slabel": [df["label"].iloc[0]], "n_members": [len(df)]}
+            {"slabel": vc.index, "n_members": vc.to_numpy()}
         )
 
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
     n_parts = max(2, min(32, labels.num_blocks()))
-    sizes = labels.groupby("label").map_groups(
-        _sizes, batch_format="pandas"
+    sizes = bucketed_group_reduce(
+        labels.select_columns(["label"]), ["label"], _sizes, partial=False
     ).repartition(n_parts)
     joined = labels.join(
         sizes, join_type="inner", num_partitions=n_parts,

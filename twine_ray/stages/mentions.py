@@ -147,19 +147,29 @@ def link_mentions_shuffle(mentions_ds, alias_ds):
     import pandas as pd
 
     def _best(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["prior", "entity_key"],
-                            ascending=[False, True], kind="mergesort")
-        r = df.head(1)
+        # vectorized winner per surface: sort + drop_duplicates (C
+        # kernels) over the whole bucket — never one Python call per
+        # alias (the dict can have 10^5+ surfaces)
+        df = df.sort_values(
+            ["alias_norm", "prior", "entity_key"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        r = df.drop_duplicates(subset=["alias_norm"], keep="first")
         return pd.DataFrame(
             {"norm": r["alias_norm"].values,
              "best_key": r["entity_key"].values,
              "best_prior": r["prior"].values}
         )
 
-    best = alias_ds.groupby("alias_norm").map_groups(
-        _best, batch_format="pandas"
-    )
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
     num_parts = max(2, mentions_ds.num_blocks() if hasattr(mentions_ds, "num_blocks") else 8)
+    # repartition: grouped outputs can carry empty-schema blocks that
+    # break Ray's hash join (observed in 2.49)
+    best = bucketed_group_reduce(
+        alias_ds.select_columns(["alias_norm", "entity_key", "prior"]),
+        ["alias_norm"], _best, partial=False,
+    ).repartition(num_parts)
     joined = mentions_ds.join(
         best, join_type="left_outer", num_partitions=num_parts, on=("norm",),
     )
