@@ -178,10 +178,10 @@ def run_scaling() -> dict:
     """Same job, two parallelism levels, fresh processes (BASELINE.md)."""
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        # the scaling comparison uses a larger corpus (default 400k
+        # the scaling comparison uses a larger corpus (default 600k
         # pages) so compute dominates the fixed per-run costs — the
         # shared /tmp corpus is generated once and reused by both legs
-        env.setdefault("BENCH_PAGES", "400000")
+        env.setdefault("BENCH_PAGES", "600000")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--kg-only"],
             env=env, capture_output=True, text=True, check=True,
