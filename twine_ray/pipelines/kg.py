@@ -10,9 +10,10 @@ workflow chain (``[twine] workflow=sparql-get,...,sparql-put``;
           -> sameAs edges -> union-find -> canon rewrite
           -> property resolution + dedup -> sorted partitioned store
 
-Only three wide exchanges exist on the page-scale path: the
-latest-wins groupby, the resolve groupby, and the store partitioning
-sort; the union-find operates on the (entity-scale, tiny) edge set.
+Only TWO wide exchanges exist on the page-scale path: the latest-wins
+bucketed reduce, and the fused resolve + store-sort + partitioning
+exchange (``resolve_for_store``); the union-find operates on the
+entity-scale (tiny) edge set.
 """
 
 from __future__ import annotations
