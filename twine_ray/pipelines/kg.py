@@ -24,7 +24,11 @@ import pyarrow.compute as pc
 from twine_ray.sources import world as W
 from twine_ray.sources.pages import alias_dict_table, pages_from_documents
 from twine_ray.stages.canon import connected_components
-from twine_ray.stages.extract import extract_text, latest_page_wins
+from twine_ray.stages.extract import (
+    extract_text,
+    extract_with_graph_replace,
+    latest_page_wins,
+)
 from twine_ray.stages.materialize import materialize_triples, read_triple_store
 from twine_ray.stages.resolve import (
     resolve_and_dedup,
@@ -58,8 +62,7 @@ def kg_triples_dataset(pages_ds, alias_rows, *, concurrency=4,
     rewrite), so it is pinned via materialize() — at this entry point
     inputs are small by contract.
     """
-    extracted = extract_text(pages_ds)
-    deduped = latest_page_wins(extracted)
+    deduped = extract_with_graph_replace(pages_ds)
     triples_raw = extract_triples(
         deduped, alias_rows, concurrency=concurrency
     ).materialize()
@@ -129,13 +132,14 @@ def run_kg_pipeline(
     store_dir = os.path.join(out_dir, "store")
 
     done = ckpt.done_buckets(raw_dir) if resume else set()
-    extracted = extract_text(pages_ds)
     if done:
         done_arr = pa.array(sorted(done), type=pa.int32())
 
         def _skip_done(batch: pa.Table) -> pa.Table:
+            # bucket on the NORMALIZED url — graphs (and hence markers)
+            # use the normalized form
             buckets = pa.array(
-                [bucket_of(u, num_buckets)
+                [bucket_of(normalize_url(u), num_buckets)
                  for u in batch["url"].to_pylist()],
                 type=pa.int32(),
             )
@@ -143,12 +147,12 @@ def run_kg_pipeline(
                 pc.invert(pc.is_in(buckets, value_set=done_arr))
             )
 
-        extracted = extracted.map_batches(_skip_done, batch_format="pyarrow")
+        pages_ds = pages_ds.map_batches(_skip_done, batch_format="pyarrow")
 
     import time
 
     t0 = time.perf_counter()
-    deduped = latest_page_wins(extracted)
+    deduped = extract_with_graph_replace(pages_ds)
     triples_raw = extract_triples(deduped, alias_rows,
                                   concurrency=concurrency)
     phase1 = materialize_triples(

@@ -99,3 +99,85 @@ def latest_page_wins(extracted_ds):
         return df.drop(columns=["_tie"], errors="ignore")
 
     return deduped.map_batches(_drop_tie, batch_format="pandas")
+
+
+def duplicate_url_hashes(pages_ds, batch_size: int = 4096) -> set[int]:
+    """Stable hashes of normalized urls that appear on MORE than one
+    page row — computed on a url-only projection (column-pruned read,
+    16-byte shuffle rows), so finding the duplicate slice costs almost
+    nothing next to the corpus."""
+    import pandas as pd
+
+    from twine_ray.functions.ids import stable_hash64
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        h = pd.Series(
+            [stable_hash64(normalize_url(u)) % (1 << 62)
+             for u in batch["url"].to_pylist()],
+            dtype="int64",
+        )
+        vc = h.value_counts()
+        return pa.Table.from_pydict(
+            {"h": pa.array(vc.index.to_numpy(), type=pa.int64()),
+             "n": pa.array(vc.to_numpy(), type=pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        pages_ds.select_columns(["url"])
+        .map_batches(_partial, batch_format="pyarrow",
+                     batch_size=batch_size)
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    dup_rows = counts.filter(expr="n > 1").take_all()
+    return {r["h"] for r in dup_rows}
+
+
+def extract_with_graph_replace(pages_ds, batch_size: int = 256):
+    """extract_text + graph-replace dedup, shuffling ONLY duplicates.
+
+    In a crawl corpus almost every url is unique, so the full
+    latest-wins groupby would shuffle the entire extracted text for
+    nothing.  Instead: (1) find duplicated urls on a url-only
+    projection (``duplicate_url_hashes`` — near-free), (2) split the
+    PAGES stream on that broadcast set (urls are known before
+    extraction), (3) the clean side streams straight through
+    extraction, only the duplicate slice pays the latest-wins
+    reduction.  Output set is identical to
+    ``latest_page_wins(extract_text(pages))`` (tested)."""
+    import numpy as np
+    import pandas as pd
+
+    from twine_ray.functions.ids import stable_hash64
+
+    dup_hashes = duplicate_url_hashes(pages_ds)
+    if not dup_hashes:
+        return extract_text(pages_ds, batch_size=batch_size)
+
+    dup_arr = np.array(sorted(dup_hashes), dtype=np.int64)
+
+    def _split(dupside: bool):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            h = np.array(
+                [stable_hash64(normalize_url(u)) % (1 << 62)
+                 for u in df["url"]],
+                dtype=np.int64,
+            )
+            mask = np.isin(h, dup_arr)
+            return df[mask] if dupside else df[~mask]
+
+        return _f
+
+    clean = pages_ds.map_batches(_split(False), batch_format="pandas")
+    dups = pages_ds.map_batches(_split(True), batch_format="pandas")
+    deduped = latest_page_wins(
+        extract_text(dups, batch_size=batch_size)
+    ).map_batches(
+        # coerce back to Arrow blocks: the union's two branches must not
+        # mix pandas (map_groups output) with Arrow blocks — downstream
+        # batching asserts a single block type (Ray 2.49)
+        lambda t: t, batch_format="pyarrow",
+    )
+    return extract_text(clean, batch_size=batch_size).union(deduped)
