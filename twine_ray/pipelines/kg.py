@@ -5,15 +5,16 @@ The single production entry point — the Ray-native equivalent of a
 workflow chain (``[twine] workflow=sparql-get,...,sparql-put``;
 ``twine:libtwine/workflow.c``):
 
-    pages -> extract_text -> latest-wins dedup -> triple extraction
+    pages -> extract_text -> sparse latest-wins dedup -> triple extraction
           -> [checkpoint: raw triples, resumable per graph bucket]
           -> sameAs edges -> union-find -> canon rewrite
           -> property resolution + dedup -> sorted partitioned store
 
-Only TWO wide exchanges exist on the page-scale path: the latest-wins
-bucketed reduce, and the fused resolve + store-sort + partitioning
-exchange (``resolve_for_store``); the union-find operates on the
-entity-scale (tiny) edge set.
+Only ONE full-corpus wide exchange exists on the page-scale path: the
+fused resolve + store-sort + partitioning exchange
+(``resolve_for_store``).  The latest-wins dedup shuffles only the
+duplicated-url slice (``extract_with_graph_replace``), and the
+union-find operates on the entity-scale (tiny) edge set.
 """
 
 from __future__ import annotations
