@@ -133,3 +133,39 @@ def test_latest_warc_ts_wins(ray_session, corpus, alias_rows):
     assert len(mods) == 1
     newest = max(t.warc_ts for t in truths if t.url == dup_url)
     assert mods.iloc[0]["obj"] == newest.isoformat()
+
+
+def test_sparse_dedup_equals_full_shuffle(ray_session, alias_rows):
+    """extract_with_graph_replace must equal latest_page_wins∘extract
+    on a corpus dense with duplicates (many urls crawled 2-3 times)."""
+    import ray.data as rd
+
+    from twine_ray.stages.extract import (
+        extract_text,
+        extract_with_graph_replace,
+        latest_page_wins,
+    )
+
+    rows, _ = synth_pages(30, seed=42, n_entities=N_ENT)
+    # duplicate every third url with newer timestamps + changed content
+    import datetime as dt
+
+    extra = []
+    for i, r in enumerate(rows[:30:3]):
+        clone = dict(rows[(i * 7 + 1) % 30])
+        clone["url"] = r["url"]
+        clone["warc_ts"] = r["warc_ts"] + dt.timedelta(days=10 + i)
+        extra.append(clone)
+    corpus = rows + extra
+
+    full = latest_page_wins(
+        extract_text(rd.from_arrow(pages_table(corpus)))
+    ).to_pandas()
+    sparse = extract_with_graph_replace(
+        rd.from_arrow(pages_table(corpus))
+    ).to_pandas()
+
+    cols = ["url", "warc_ts", "text", "title", "lang"]
+    a = set(map(tuple, full[cols].itertuples(index=False, name=None)))
+    b = set(map(tuple, sparse[cols].itertuples(index=False, name=None)))
+    assert a == b
