@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_ops": relational.q_string_ops,
         "conditional_agg": relational.q_conditional_agg,
         "join_multi": relational.q_join_multi,
+        "session_windows": relational.q_session_windows,
         # --- text analysis over documents
         "doc_lang_counts": text.q_doc_lang_counts,
         "doc_nchars": text.q_doc_nchars,
@@ -205,6 +206,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "session_windows": """
+            WITH marked AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC)
+            ),
+            sess AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts ASC, event_id ASC
+                                        ROWS UNBOUNDED PRECEDING)
+                           AS session_id
+                FROM marked
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   MIN(ts) AS session_start,
+                   COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, session_id
         """,
         "except_diff": """
             SELECT l_orderkey, l_linenumber FROM lineitem

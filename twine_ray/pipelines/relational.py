@@ -720,3 +720,38 @@ def q_join_multi(sf_dir: str):
         return df
 
     return final.map_batches(_fix, batch_format="pandas")
+
+
+def q_session_windows(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user: a new session starts after a gap of
+    more than ``gap_minutes`` between consecutive events (the classic
+    streaming sessionization, expressed as a bucketed vectorized
+    reduction over complete user groups; SURVEY.md §2.9).
+
+    Returns (user_id, session_id, session_start, n_events) with
+    sessions numbered 1..k per user in time order."""
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        # needs complete user groups -> partial=False at the call site
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap_break = df["ts"].diff() > gap
+        sid = (new_user | gap_break).cumsum()
+        g = df.assign(_sid=sid).groupby("_sid", as_index=False).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n_events=("event_id", "size"),
+        )
+        g = g.sort_values(["user_id", "session_start"], kind="mergesort")
+        g["session_id"] = g.groupby("user_id", sort=False).cumcount() + 1
+        g["n_events"] = g["n_events"].astype("int64")
+        g["session_id"] = g["session_id"].astype("int64")
+        g["session_start"] = g["session_start"].astype("datetime64[us]")
+        return g[["user_id", "session_id", "session_start", "n_events"]]
+
+    return bucketed_group_reduce(ev, ["user_id"], _reduce, partial=False)
