@@ -17,6 +17,7 @@ a pair-verify stage that never materializes the corpus on the driver.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -31,8 +32,6 @@ from twine_ray.functions.fingerprint import (
     simhash64,
     word_shingles,
 )
-from twine_ray.stages.canon import union_find_local
-
 NUM_PERM = 128
 BANDS = 32  # 32 bands x 4 rows: catches J >= ~0.5 reliably
 JACCARD_THRESHOLD = 0.8
@@ -160,67 +159,185 @@ def _candidate_pairs(band_rows_ds):
     return bucketed_group_reduce(pairs, ["a", "b"], _dedup)
 
 
+# Serialized shingle-set separator: not \w, not space, so it can never
+# appear inside a shingle token (word_shingles joins \w tokens with ' ').
+_SHINGLE_SEP = "\x1f"
+
+
+def _round4(j: float) -> float:
+    """Deterministic 4-decimal rounding with IEEE-identical semantics in
+    Python and DuckDB (`FLOOR(j*10000 + 0.5)/10000.0`): both engines
+    compute the same double division, so oracle hashes match bit-for-bit
+    (builtin round() is half-even on the BINARY value and DuckDB ROUND
+    is half-away — they disagree on exact halves like 17/32)."""
+    return math.floor(j * 10000.0 + 0.5) / 10000.0
+
+
+def _shingle_sets(ds):
+    """docs (doc_id, text, ...) -> (sid, sh) with the sorted shingle set
+    serialized into ONE string column — Acero hash joins reject
+    list-typed payload columns, a plain string flows through fine."""
+
+    def _mk(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "sid": df["doc_id"].astype("int64"),
+                "sh": [
+                    _SHINGLE_SEP.join(sorted(word_shingles(t or "")))
+                    for t in df["text"]
+                ],
+            }
+        )
+
+    return ds.map_batches(_mk, batch_format="pandas", batch_size=512)
+
+
+def _decode_shingles(s: str) -> set[str]:
+    return set(s.split(_SHINGLE_SEP)) if s else set()
+
+
+def _verify_jaccard(pairs_ds, shingle_ds, threshold: float,
+                    n_parts: int | None = None):
+    """Distributed exact-Jaccard verification: hash-join candidate pairs
+    to both members' shingle sets, verify inside map_batches.  Nothing
+    touches the driver — this is the fix for the round-1 scale-killer
+    (VERDICT.md 'What's wrong' #1: take_all + driver Jaccard loop).
+
+    pairs_ds: (a:int64, b:int64); shingle_ds: (sid, sh).
+    Returns Dataset (a, b, jaccard) with jaccard >= threshold.
+    """
+    if n_parts is None:
+        from twine_ray.stages.grouped import default_num_partitions
+
+        n_parts = default_num_partitions(hi=64)
+
+    # repartition: groupby/map_groups outputs can carry empty-schema
+    # blocks that break Ray 2.49's hash join
+    j1 = pairs_ds.repartition(n_parts).join(
+        shingle_ds.repartition(n_parts),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("a",),
+        right_on=("sid",),
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"a": t["a"], "b": t["b"], "sh_a": t["sh"]}
+        ),
+        batch_format="pyarrow",
+    )
+    sh_b = shingle_ds.map_batches(
+        lambda t: t.rename_columns(["sid2", "sh_b"]),
+        batch_format="pyarrow",
+    )
+    j2 = j1.repartition(n_parts).join(
+        sh_b.repartition(n_parts),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("b",),
+        right_on=("sid2",),
+    )
+
+    def _verify(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"a": [], "b": [], "jaccard": []}
+        for a, b, sa, sb in zip(df["a"], df["b"], df["sh_a"], df["sh_b"]):
+            j = jaccard(_decode_shingles(sa), _decode_shingles(sb))
+            if j >= threshold:
+                out["a"].append(int(a))
+                out["b"].append(int(b))
+                out["jaccard"].append(_round4(j))
+        return pd.DataFrame(out).astype(
+            {"a": "int64", "b": "int64", "jaccard": "float64"}
+        )
+
+    return j2.map_batches(_verify, batch_format="pandas")
+
+
+# Candidate sets smaller than this are broadcast (ray.put once, stream
+# filter — no corpus shuffle); above it the verify joins shuffle the
+# full shingle table instead (dup-dense corpora, VERDICT #1).
+BROADCAST_ID_LIMIT = 2_000_000
+
+
 def q_dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
-    """Near-dup clusters via MinHash-LSH; returns (doc_id, cluster_rep,
-    n_cluster) for docs in clusters of size >= 2.
+    """Near-dup clusters via MinHash-LSH; returns Dataset (doc_id,
+    cluster_rep, n_cluster) for docs in clusters of size >= 2.
 
     Stages: batched signatures -> band explode -> bucket groupby ->
-    candidate pairs (vectorized self-merge per bucket).  Verification
-    then touches ONLY candidate documents: their texts are fetched with
-    a pushdown filter and the exact Jaccard check runs on that small
-    set — the corpus itself is never collected (LSH contract: the
-    candidate set is orders of magnitude smaller than the corpus).
+    candidate pairs (vectorized self-merge per bucket) -> DISTRIBUTED
+    Jaccard verify (pairs hash-joined to shingle sets, checked inside
+    map_batches) -> distributed connected components (stages/canon.py).
+    The corpus is never materialized on the driver: when the candidate
+    set is small its id set is broadcast and docs stream through a
+    filter; when it is corpus-scale (dup-dense crawl) the inner joins
+    of the verify stage restrict to candidates instead.
     """
+    import ray.data as rd
+
     ds = _docs(sf_dir, ["doc_id", "text"])
     band_rows = ds.map_batches(
         _MinHashStage, batch_format="pandas", batch_size=512,
         concurrency=(1, 2),
     )
-    pairs = _candidate_pairs(band_rows).to_pandas()
-    if pairs.empty:
-        return pd.DataFrame(
-            {"doc_id": pd.Series(dtype="int64"),
-             "cluster_rep": pd.Series(dtype="int64"),
-             "n_cluster": pd.Series(dtype="int64")}
+    pairs = _candidate_pairs(band_rows).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {"doc_id": [], "cluster_rep": [], "n_cluster": []},
+                schema=pa.schema(
+                    [("doc_id", pa.int64()), ("cluster_rep", pa.int64()),
+                     ("n_cluster", pa.int64())]
+                ),
+            )
         )
 
-    cand_ids = sorted(set(pairs["a"]).union(pairs["b"]))
+    docs_for_verify = ds
+    if 2 * n_pairs <= BROADCAST_ID_LIMIT:
+        # bounded driver collect (<= limit rows of two ints) -> broadcast
+        import pyarrow.compute as pc
 
-    import pyarrow as pa
-    import pyarrow.compute as pc
+        from twine_ray.state.broadcast import broadcast, resolve
 
-    id_set = pa.array(cand_ids, type=pa.int64())
+        prs = pairs.to_pandas()
+        ids = np.unique(np.concatenate(
+            [prs["a"].to_numpy(), prs["b"].to_numpy()]
+        ))
+        ref = broadcast(pa.array(ids, type=pa.int64()))
 
-    def _only_cands(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["doc_id"], value_set=id_set))
+        def _flt(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.is_in(t["doc_id"], value_set=resolve(ref))
+            )
 
-    cand_rows = ds.map_batches(_only_cands,
-                               batch_format="pyarrow").take_all()
-    shingles = {
-        int(r["doc_id"]): word_shingles(r["text"] or "") for r in cand_rows
-    }
+        docs_for_verify = ds.map_batches(_flt, batch_format="pyarrow")
 
-    sims = np.array([
-        jaccard(shingles.get(a, set()), shingles.get(b, set()))
-        for a, b in zip(pairs["a"], pairs["b"])
-    ])
-    verified = pairs[sims >= threshold]
+    shingle_ds = _shingle_sets(docs_for_verify)
+    verified = _verify_jaccard(pairs, shingle_ds, threshold)
 
-    roots = union_find_local(
-        [(f"{int(a):012d}", f"{int(b):012d}")
-         for a, b in zip(verified["a"], verified["b"])]
+    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "u": [f"{int(a):012d}" for a in df["a"]],
+                "v": [f"{int(b):012d}" for b in df["b"]],
+            }
+        )
+
+    from twine_ray.stages.canon import connected_components
+
+    canon = connected_components(
+        verified.map_batches(_edges, batch_format="pandas")
     )
-    sizes: dict[str, int] = {}
-    for root in roots.values():
-        sizes[root] = sizes.get(root, 0) + 1
-    out = pd.DataFrame(
-        {
-            "doc_id": [int(m) for m in roots],
-            "cluster_rep": [int(roots[m]) for m in roots],
-            "n_cluster": [sizes[roots[m]] for m in roots],
-        }
-    ).sort_values("doc_id").reset_index(drop=True)
-    return out
+
+    def _out(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["member_key"].astype("int64"),
+                "cluster_rep": df["root"].astype("int64"),
+                "n_cluster": df["n_members"].astype("int64"),
+            }
+        )
+
+    return canon.map_batches(_out, batch_format="pandas").sort("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -291,25 +408,61 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
 # ---------------------------------------------------------------------------
 
 
+# Sentinel prefix token for shingle-less docs (word_shingles never
+# emits an empty string, so no collision): all empty docs of a source
+# share it and pair up with J = 1.0, exactly like the brute force.
+_EMPTY_TOK = "\x00EMPTY"
+
+
 def q_dedup_jaccard(sf_dir: str, threshold: float = 0.5):
-    """Exact n-gram-Jaccard pairs >= threshold among same-source docs
-    (source = cheap blocking key).  Returns (a, b, jaccard)."""
+    """EXACT n-gram-Jaccard pairs >= threshold among same-source docs.
+    Returns Dataset (a, b, jaccard).
+
+    Candidate generation is PREFIX FILTERING (AllPairs/PPJoin family,
+    Bayardo et al. WWW'07 / Xiao et al. WWW'08 — public algorithms):
+    with each doc's shingle set sorted under one global total order
+    (lexicographic), any pair with J(A,B) >= t must share a token
+    within the first ``|X| - ceil(t*|X|) + 1`` tokens of each side —
+    so blocking on (source, prefix_token) buckets loses NO qualifying
+    pair, while bounding candidate generation far below the per-source
+    O(n^2) loop this replaces (VERDICT.md 'What's wrong' #2).  Pairs
+    are then exact-verified distributed via the shared Jaccard join."""
     ds = _docs(sf_dir, ["doc_id", "text", "source"])
 
-    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(
-            zip(df["doc_id"].tolist(), df["text"].tolist())
-        )
-        sh = {i: word_shingles(t or "") for i, t in recs}
-        out = {"a": [], "b": [], "jaccard": []}
-        ids = [i for i, _ in recs]
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                j = jaccard(sh[ids[x]], sh[ids[y]])
-                if j >= threshold:
-                    out["a"].append(ids[x])
-                    out["b"].append(ids[y])
-                    out["jaccard"].append(round(j, 4))
+    def _prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"source": [], "ptok": [], "doc_id": []}
+        for did, text, src in zip(df["doc_id"], df["text"], df["source"]):
+            sh = sorted(word_shingles(text or ""))
+            if not sh:
+                toks = [_EMPTY_TOK]
+            else:
+                toks = sh[: len(sh) - math.ceil(threshold * len(sh)) + 1]
+            for t in toks:
+                out["source"].append(src)
+                out["ptok"].append(t)
+                out["doc_id"].append(int(did))
         return pd.DataFrame(out)
 
-    return ds.groupby("source").map_groups(_pairs, batch_format="pandas")
+    prefix_rows = ds.map_batches(
+        _prefix_rows, batch_format="pandas", batch_size=512
+    )
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        m = df.merge(df, on=["source", "ptok"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return pd.DataFrame(
+            {"a": m["doc_id_a"].values, "b": m["doc_id_b"].values}
+        ).drop_duplicates().astype({"a": "int64", "b": "int64"})
+
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    pairs = bucketed_group_reduce(
+        prefix_rows, ["source", "ptok"], _pairs, partial=False
+    )
+
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    pairs = bucketed_group_reduce(pairs, ["a", "b"], _dedup)
+    return _verify_jaccard(pairs, _shingle_sets(ds), threshold)

@@ -26,6 +26,24 @@ import pandas as pd
 BUCKET_COL = "__kb"
 
 
+def default_num_partitions(lo: int = 2, hi: int = 256) -> int:
+    """Shuffle/join partition count derived from the cluster, not a
+    literal, clamped to [lo, hi].  NEVER exceeds the CPU count: Ray
+    2.49's hash join spawns one HashShuffleAggregator actor per
+    partition, and requesting more aggregators than CPUs deadlocks the
+    pipeline (observed: num_partitions=64 on a 32-CPU node hangs
+    forever while 32 completes — the extra actors can never schedule
+    and the join never finalizes).  Falls back to 8 CPUs when Ray is
+    not initialised (pure-driver unit tests)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) or 8
+    except Exception:
+        cpus = 8
+    return max(lo, min(hi, cpus))
+
+
 def add_key_bucket(df: pd.DataFrame, key_cols: list[str],
                    num_buckets: int) -> pd.DataFrame:
     import numpy as np
