@@ -32,7 +32,13 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from twine_ray.pipelines import dedup, relational, similarity, text
+    from twine_ray.pipelines import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
     from twine_ray.pipelines.kg import (
         default_alias_rows,
         kg_triples_dataset,
@@ -49,6 +55,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_extract(sf_dir: str):
         ds = extract_text(pages_from_documents(sf_dir))
         return latest_page_wins(ds).select_columns(["url", "text", "title"])
+
+    def kg_extract_meta(sf_dir: str):
+        """SQL-oracled slice of the extraction path: the synthesized
+        page url and the <title> recovered by the HTML extractor are
+        both exact functions of the documents row, so DuckDB can
+        reconstruct them — a green driver row proving pages synthesis,
+        extraction and latest-wins end-to-end (extracted TEXT stays
+        rows-only in kg_extract: entity sentences are not SQL)."""
+        ds = extract_text(pages_from_documents(sf_dir))
+        return latest_page_wins(ds).select_columns(["url", "title", "lang"])
 
     def kg_mentions(sf_dir: str):
         extracted = extract_text(pages_from_documents(sf_dir))
@@ -95,10 +111,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": similarity.q_ann_lsh,
         "ann_ivf": similarity.q_ann_ivf,
         "embed_neardup": similarity.q_embed_neardup_ids,
-        # --- KG pipeline (non-SQL-expressible; P/R-gated in tests/)
+        # --- KG pipeline (P/R-gated in tests/; _meta slice is oracled)
         "kg_flagship": kg_flagship,
         "kg_extract": kg_extract,
+        "kg_extract_meta": kg_extract_meta,
         "kg_mentions": kg_mentions,
+        # --- multimodal plumbing (decode kernel is a declared sandbox
+        # stand-in; schema/batching/actor plumbing is real — rows-only)
+        "media_features": multimodal.q_media_features,
+        "media_frames": multimodal.q_media_frames,
     }
 
 
@@ -305,10 +326,62 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "dedup_exact": """
-            SELECT md5(text) AS text_md5,
+            -- COALESCE: the pipeline hashes NULL text as md5('') — keep
+            -- parity even if a corpus ever carries NULLs (ADVICE.md r1)
+            SELECT md5(COALESCE(text, '')) AS text_md5,
                    MIN(doc_id) AS doc_id,
                    COUNT(*) AS n_copies
-            FROM documents GROUP BY md5(text)
+            FROM documents GROUP BY md5(COALESCE(text, ''))
+        """,
+        "dedup_jaccard": """
+            -- exact 3-word-shingle Jaccard >= 0.5 within source blocks;
+            -- FLOOR(j*1e4+0.5)/1e4 mirrors twine_ray's _round4 so the
+            -- doubles match bit-for-bit (builtin round() is half-even).
+            WITH t AS (
+                SELECT doc_id, source,
+                       regexp_extract_all(lower(text), '[a-zA-Z0-9_]+')
+                           AS toks
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, source,
+                    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                         WHEN len(toks) < 3
+                             THEN [array_to_string(toks, ' ')]
+                         ELSE list_distinct(
+                             [array_to_string(toks[i:i+2], ' ')
+                              FOR i IN generate_series(1, len(toks) - 2)])
+                    END AS sh
+                FROM t
+            ),
+            p AS (
+                SELECT x.doc_id AS a, y.doc_id AS b,
+                       CASE WHEN len(x.sh) = 0 AND len(y.sh) = 0 THEN 1.0
+                            ELSE CAST(len(list_intersect(x.sh, y.sh))
+                                      AS DOUBLE)
+                                 / len(list_distinct(
+                                       list_concat(x.sh, y.sh))) END AS j
+                FROM sh x JOIN sh y
+                  ON x.source = y.source AND x.doc_id < y.doc_id
+            )
+            SELECT a, b, FLOOR(j * 10000 + 0.5) / 10000.0 AS jaccard
+            FROM p WHERE j >= 0.5
+        """,
+        "kg_extract_meta": """
+            -- the pages corpus is a pure function of the documents row
+            -- (sources/pages.py::build_doc_page): url and <title> are
+            -- reconstructible exactly; parity proves synthesis ->
+            -- HTML extraction -> latest-wins end-to-end.
+            -- HTML variant = doc_id % 4 (world.render_html); variant 3
+            -- emits no <title> element, so extraction yields ''.
+            SELECT 'http://' || COALESCE(NULLIF(source, ''), 'docs')
+                       || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   CASE WHEN doc_id % 4 = 3 THEN ''
+                        ELSE 'Document ' || CAST(doc_id AS VARCHAR)
+                             || ' (' || source || ')' END AS title,
+                   COALESCE(lang, '') AS lang
+            FROM documents
         """,
         "ann_topk": """
             WITH q AS (

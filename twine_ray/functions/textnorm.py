@@ -15,6 +15,12 @@ _WS_RE = re.compile(r"\s+")
 
 _TOKEN_RE = re.compile(r"[\w]+(?:'[\w]+)?", re.UNICODE)
 
+# ASCII twin of _TOKEN_RE: DuckDB/RE2's \w is ASCII-only while Python's
+# is Unicode-aware, so oracle-checked token counts use this explicitly
+# ASCII class on BOTH sides — parity no longer depends on the corpus
+# happening to be ASCII (ADVICE.md round 1).
+_TOKEN_RE_ASCII = re.compile(r"[\w]+(?:'[\w]+)?", re.ASCII)
+
 
 def norm_alias(s: str) -> str:
     """Canonical alias key: NFKC, casefold, collapse whitespace, strip."""
@@ -28,3 +34,9 @@ def simple_tokens(s: str) -> list[str]:
     optional internal apostrophe). Used by token counting and quality
     scoring."""
     return _TOKEN_RE.findall(s)
+
+
+def simple_tokens_ascii(s: str) -> list[str]:
+    """ASCII-\\w variant of ``simple_tokens`` matching DuckDB/RE2
+    semantics exactly — the tokenizer for oracle-checked counts."""
+    return _TOKEN_RE_ASCII.findall(s)

@@ -67,7 +67,11 @@ def q_doc_nchars(sf_dir: str):
 
 
 def q_doc_token_counts(sf_dir: str):
-    """Token count per doc with the frozen word tokenizer."""
+    """Token count per doc with the ASCII-\\w tokenizer — matches the
+    DuckDB/RE2 oracle regex byte-for-byte regardless of corpus content
+    (Python's Unicode \\w would diverge on e.g. 'naïve')."""
+    from twine_ray.functions.textnorm import simple_tokens_ascii
+
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def _f(df: pd.DataFrame) -> pd.DataFrame:
@@ -75,7 +79,7 @@ def q_doc_token_counts(sf_dir: str):
             {
                 "doc_id": df["doc_id"],
                 "n_tokens": df["text"].map(
-                    lambda t: len(simple_tokens(t or ""))
+                    lambda t: len(simple_tokens_ascii(t or ""))
                 ).astype("int64"),
             }
         )
