@@ -36,6 +36,15 @@ def test_normalize_url_percent():
     assert normalize_url("http://e.com/p?q=%41") == "http://e.com/p?q=A"
 
 
+def test_normalize_url_ipv6_brackets():
+    assert normalize_url("http://[::1]:8080/x") == "http://[::1]:8080/x"
+    assert normalize_url("http://[::1]:80/x") == "http://[::1]/x"
+    assert normalize_url("HTTP://[2001:DB8::1]/a") == "http://[2001:db8::1]/a"
+    u = "http://user:pw@[::1]:9000/p"
+    assert normalize_url(u) == u
+    assert normalize_url(normalize_url(u)) == normalize_url(u)
+
+
 def test_normalize_url_keeps_fragment():
     assert normalize_url("http://e.com/p#Frag") == "http://e.com/p#Frag"
 

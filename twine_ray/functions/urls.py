@@ -65,6 +65,11 @@ def normalize_url(url: str) -> str:
     if netloc:
         host = parts.hostname or ""
         host = host.lower()
+        # urlsplit().hostname strips the brackets off IPv6 literals;
+        # re-wrap so the rebuilt URL stays valid (and the partition key
+        # stable) for hosts like [::1]:8080 (ADVICE.md round 1)
+        if ":" in host and not host.startswith("["):
+            host = f"[{host}]"
         userinfo = ""
         if parts.username is not None:
             userinfo = parts.username

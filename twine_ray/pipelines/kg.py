@@ -132,6 +132,12 @@ def run_kg_pipeline(
     raw_dir = os.path.join(out_dir, "raw")
     store_dir = os.path.join(out_dir, "store")
 
+    # refuse to resume under a different bucketing than the markers
+    # were written with (stale ids would silently drop pages)
+    bucketing = {"num_buckets": num_buckets, "scheme": "graph-bucket-v1"}
+    ckpt.ensure_manifest(raw_dir, bucketing, reset=not resume)
+    ckpt.ensure_manifest(store_dir, bucketing, reset=not resume)
+
     done = ckpt.done_buckets(raw_dir) if resume else set()
     if done:
         done_arr = pa.array(sorted(done), type=pa.int32())

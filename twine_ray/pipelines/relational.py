@@ -206,10 +206,12 @@ def q_join_shuffle(sf_dir: str):
                ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
 
+    from twine_ray.stages.grouped import default_num_partitions
+
     joined = li.join(
         orders,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=default_num_partitions(hi=32),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -645,8 +647,11 @@ def q_conditional_agg(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    from twine_ray.stages.grouped import default_num_partitions
+
     joined = li.join(
-        orders, join_type="inner", num_partitions=8,
+        orders, join_type="inner",
+        num_partitions=default_num_partitions(hi=32),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 

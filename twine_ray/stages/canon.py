@@ -84,20 +84,37 @@ def canon_table_from_roots(roots: dict[str, str]) -> pa.Table:
     )
 
 
-def _label_sig(labels_ds) -> int:
-    """Order-independent signature of a (node, label) table: sum of
-    per-row stable hashes (one cheap pass)."""
+def _label_sig(labels_ds) -> tuple:
+    """Order-independent signature of a (node, label) table: sums of
+    TWO independently-salted per-row stable hashes in one pass — a
+    single sum could theoretically collide across rounds and exit the
+    fixpoint loop early with wrong labels (ADVICE.md round 1)."""
     from twine_ray.functions.ids import stable_hash64
 
     def _h(t: pa.Table) -> pa.Table:
-        # mod 2^31 so the global int64 sum can never overflow
-        vals = [
-            stable_hash64(f"{n}\x00{l}") % (1 << 31)
+        # mod 2^31 so the global int64 sums can never overflow
+        keys = [
+            f"{n}\x00{l}"
             for n, l in zip(t["node"].to_pylist(), t["label"].to_pylist())
         ]
-        return pa.Table.from_pydict({"h": pa.array(vals, type=pa.int64())})
+        return pa.Table.from_pydict(
+            {
+                "h1": pa.array(
+                    [stable_hash64(k) % (1 << 31) for k in keys],
+                    type=pa.int64(),
+                ),
+                "h2": pa.array(
+                    [stable_hash64("s2\x01" + k) % (1 << 31) for k in keys],
+                    type=pa.int64(),
+                ),
+            }
+        )
 
-    return labels_ds.map_batches(_h, batch_format="pyarrow").sum("h")
+    hs = labels_ds.map_batches(_h, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    row = hs.aggregate(Sum("h1"), Sum("h2"))
+    return (row["sum(h1)"], row["sum(h2)"])
 
 
 def _label_propagation(edges_ds, max_rounds: int = 30):
@@ -146,6 +163,7 @@ def _label_propagation(edges_ds, max_rounds: int = 30):
 
     n_parts = max(2, min(32, sym.num_blocks()))
     prev_sig = _label_sig(labels)
+    converged = False
     for _ in range(max_rounds):
         # (1) neighbor min: join edge (node, nbr) with labels on nbr
         nbr_lab = sym.join(
@@ -203,8 +221,19 @@ def _label_propagation(edges_ds, max_rounds: int = 30):
         labels = jumped.materialize()
         sig = _label_sig(labels)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # Never return possibly-unconverged labels silently: wrong
+        # connected components would propagate into every canon id.
+        # Pointer jumping converges in O(log diameter) rounds, so
+        # max_rounds=30 covers any graph below ~2^30 diameter — hitting
+        # this means a bug or a pathological input worth surfacing.
+        raise RuntimeError(
+            f"label propagation did not reach a fixpoint within "
+            f"{max_rounds} rounds; raise max_rounds for this graph"
+        )
     return labels
 
 

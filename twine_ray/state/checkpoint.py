@@ -14,8 +14,49 @@ Layout:  <out_dir>/data/<bucket_col>=<k>/*.parquet
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_MANIFEST.json")
+
+
+def ensure_manifest(out_dir: str, params: dict, reset: bool = False) -> None:
+    """Pin the bucketing config markers were written under.
+
+    ``_DONE`` markers store bare bucket ids; re-running with a different
+    ``num_buckets`` (or bucketing scheme) would reinterpret old ids
+    under the new hash partitioning and silently drop pages whose new
+    bucket collides with a stale marker (ADVICE.md round 1, medium).
+
+    - no manifest yet: write ``params`` (atomic rename).
+    - manifest matches ``params``: no-op.
+    - mismatch + ``reset``: wipe markers/data/lineage and start fresh
+      (the resume=False path — a fresh run under new bucketing).
+    - mismatch, no reset: raise — resuming would corrupt the output.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    mp = _manifest_path(out_dir)
+    if os.path.exists(mp):
+        with open(mp) as f:
+            existing = json.load(f)
+        if existing == params:
+            return
+        if not reset:
+            raise ValueError(
+                f"checkpoint manifest mismatch in {out_dir}: markers were "
+                f"written under {existing}, current run uses {params}; "
+                "resuming would mis-skip buckets. Clear the output dir "
+                "or rerun with resume=False."
+            )
+        for sub in ("_DONE", "_LINEAGE", "data"):
+            shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(params, f, sort_keys=True)
+    os.replace(tmp, mp)
 
 
 def data_dir(out_dir: str) -> str:
