@@ -86,6 +86,17 @@ def test_dispatch_routes_by_mime(ray_session):
             "payload": b'<http://a> <http://p> "v" <http://g9> .\n',
         },
         {
+            "uri": "http://ex.org/turtle1",
+            "content_type": "text/turtle",
+            "payload": b"@prefix ex: <http://ex.org/> .\n"
+                       b'ex:thing ex:label "A Turtle Thing"@en .\n',
+        },
+        {
+            "uri": "http://ex.org/turtle-bad",
+            "content_type": "text/turtle",
+            "payload": b"this is not turtle at all (",
+        },
+        {
             "uri": "http://ex.org/unknown",
             "content_type": "application/x-mystery",
             "payload": b"????",
@@ -98,7 +109,13 @@ def test_dispatch_routes_by_mime(ray_session):
     df = triples.to_pandas()
     assert counts["text/html"] == 1
     assert counts["application/n-quads"] == 1
+    assert counts["text/turtle"] == 1
     assert counts["application/x-mystery"] == -1  # dropped
+    # turtle message parsed (graph = message uri); malformed one skipped
+    turt = df[df["graph"] == "http://ex.org/turtle1"]
+    assert list(turt["obj"]) == ["A Turtle Thing"]
+    assert list(turt["obj_lang"]) == ["en"]
+    assert not (df["graph"] == "http://ex.org/turtle-bad").any()
     assert (df["graph"] == "http://g9").any()  # quad context respected
     titles = df[df["pred"] == DC_TITLE]
     assert list(titles["obj"]) == ["Page One"]

@@ -1,0 +1,185 @@
+"""Turtle/TriG parser (SURVEY.md §2.2 M1 — the round-1 gap).
+
+Reference behavior: ``twine:plug-ins/rdf.c`` feeds text/turtle through
+``twine_rdf_model_parse``; fixtures here are hand-computed triples for
+documents exercising the grammar subset.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from twine_ray.sources.turtle import (
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    XSD,
+    TurtleParseError,
+    parse_turtle,
+)
+
+
+def _spo(rows):
+    return {(r["subj"], r["pred"], r["obj"]) for r in rows}
+
+
+def test_prefixes_a_and_lists():
+    doc = """
+    @prefix ex: <http://ex.org/> .
+    ex:alice a ex:Person ;
+        ex:name "Alice" ;
+        ex:knows ex:bob, ex:carol .
+    """
+    rows = parse_turtle(doc, "http://g")
+    assert _spo(rows) == {
+        ("http://ex.org/alice", RDF_TYPE, "http://ex.org/Person"),
+        ("http://ex.org/alice", "http://ex.org/name", "Alice"),
+        ("http://ex.org/alice", "http://ex.org/knows", "http://ex.org/bob"),
+        ("http://ex.org/alice", "http://ex.org/knows", "http://ex.org/carol"),
+    }
+    assert all(r["graph"] == "http://g" for r in rows)
+    name = next(r for r in rows if r["pred"].endswith("name"))
+    assert name["obj_is_lit"] and name["obj_dt"] == "" and name["obj_lang"] == ""
+
+
+def test_literals_typed_lang_numeric_boolean():
+    doc = """
+    @prefix ex: <http://ex.org/> .
+    ex:s ex:label "hi"@en-GB ;
+         ex:note "n"^^ex:Note ;
+         ex:age 42 ;
+         ex:height 1.75 ;
+         ex:score 1.0e3 ;
+         ex:neg -7 ;
+         ex:frac .5 ;
+         ex:ok true .
+    """
+    by_pred = {r["pred"].rsplit("/", 1)[1]: r for r in parse_turtle(doc)}
+    assert by_pred["label"]["obj_lang"] == "en-gb"
+    assert by_pred["note"]["obj_dt"] == "http://ex.org/Note"
+    assert by_pred["age"]["obj_dt"] == XSD + "integer"
+    assert by_pred["height"]["obj_dt"] == XSD + "decimal"
+    assert by_pred["score"]["obj_dt"] == XSD + "double"
+    assert by_pred["neg"]["obj"] == "-7"
+    assert by_pred["frac"]["obj"] == ".5"
+    assert by_pred["ok"]["obj_dt"] == XSD + "boolean"
+
+
+def test_base_resolution_and_sparql_directives():
+    doc = """
+    PREFIX ex: <http://ex.org/>
+    BASE <http://base.org/dir/>
+    ex:s ex:rel <child>, </abs>, <http://full.org/x> .
+    """
+    objs = {r["obj"] for r in parse_turtle(doc)}
+    assert objs == {
+        "http://base.org/dir/child",
+        "http://base.org/abs",
+        "http://full.org/x",
+    }
+
+
+def test_escapes_and_long_strings():
+    doc = r'''
+    @prefix ex: <http://ex.org/> .
+    ex:s ex:p "tab\there é" ;
+         ex:q """multi
+line "quoted" body""" .
+    '''
+    by_pred = {r["pred"][-1]: r["obj"] for r in parse_turtle(doc)}
+    assert by_pred["p"] == "tab\there é"
+    assert by_pred["q"] == 'multi\nline "quoted" body'
+
+
+def test_bnode_property_lists_and_collections():
+    doc = """
+    @prefix ex: <http://ex.org/> .
+    [ ex:p1 "v1" ; ex:p2 [ ex:q "nested" ] ] ex:tag "outer" .
+    ex:list ex:items ( 1 "two" ) .
+    ex:empty ex:items () .
+    """
+    rows = parse_turtle(doc)
+    spo = _spo(rows)
+    outer = next(s for s, p, o in spo if o == "outer")
+    nested = next(o for s, p, o in spo if p.endswith("p2") and s == outer)
+    assert (outer, "http://ex.org/p1", "v1") in spo
+    assert (nested, "http://ex.org/q", "nested") in spo
+    head = next(o for s, p, o in spo if s == "http://ex.org/list")
+    assert (head, RDF_FIRST, "1") in spo
+    tail = next(o for s, p, o in spo if s == head and p == RDF_REST)
+    assert (tail, RDF_FIRST, "two") in spo
+    assert (tail, RDF_REST, RDF_NIL) in spo
+    assert ("http://ex.org/empty", "http://ex.org/items", RDF_NIL) in spo
+
+
+def test_trig_graph_blocks():
+    doc = """
+    @prefix ex: <http://ex.org/> .
+    ex:g1 { ex:s ex:p "in-g1" . ex:s2 ex:p 5 }
+    GRAPH <http://g2> { ex:s ex:p "in-g2" }
+    { ex:s ex:p "default" . }
+    """
+    rows = parse_turtle(doc, "http://dg")
+    graphs = {r["obj"]: r["graph"] for r in rows}
+    assert graphs["in-g1"] == "http://ex.org/g1"
+    assert graphs["5"] == "http://ex.org/g1"
+    assert graphs["in-g2"] == "http://g2"
+    assert graphs["default"] == "http://dg"
+
+
+def test_number_then_statement_dot():
+    rows = parse_turtle("<s> <p> 1.\n<s> <q> 2 .")
+    assert {r["obj"] for r in rows} == {"1", "2"}
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "ex:x ex:y ex:z .",         # undefined prefix
+        "<a> <b> .",                 # missing object
+        "<a> <b> 'unterminated",     # lexer error
+        "<a> <b> <c>",               # missing final dot
+        "@prefix ex <http://x> .",   # malformed prefix decl
+    ],
+)
+def test_malformed_raises(bad):
+    with pytest.raises(TurtleParseError):
+        parse_turtle(bad)
+
+
+def test_read_turtle_dataset(ray_session, tmp_path):
+    (tmp_path / "a.ttl").write_text(
+        "@prefix ex: <http://ex.org/> .\n"
+        'ex:s1 ex:p "one" .\n'
+    )
+    (tmp_path / "b.ttl").write_text(
+        "@prefix ex: <http://other.org/> .\n"
+        'ex:s2 ex:p "two"@fr .\n'
+    )
+    from twine_ray.sources.turtle import read_turtle
+
+    df = read_turtle(
+        [str(tmp_path / "a.ttl"), str(tmp_path / "b.ttl")],
+        default_graph="http://bulk",
+    ).to_pandas()
+    assert set(df["obj"]) == {"one", "two"}
+    assert set(df["graph"]) == {"http://bulk"}
+    assert df.loc[df["obj"] == "two", "obj_lang"].iloc[0] == "fr"
+    # prefix scoping is per document: s2 expands with b.ttl's prefix
+    assert "http://other.org/s2" in set(df["subj"])
+
+
+def test_nquads_roundtrip_through_turtle_parser():
+    """A serialized triple row reparses identically (N-Triples is a
+    subset of Turtle)."""
+    from twine_ray.sources.nquads import triple_row_to_nquad
+
+    row = {
+        "graph": "", "subj": "http://s", "pred": "http://p",
+        "obj": 'line1\nline2 "q"', "obj_is_lit": True,
+        "obj_dt": "", "obj_lang": "", "score": 0,
+    }
+    line = triple_row_to_nquad(row)
+    back = parse_turtle(line, "g")[0]
+    assert back["subj"] == row["subj"] and back["obj"] == row["obj"]

@@ -15,7 +15,10 @@ Built-in processors:
   -> triple extraction (the twine:plug-ins/xslt.c path);
 - ``application/n-quads`` / ``application/n-triples``: bulk RDF parse
   (the twine:plug-ins/rdf.c path; graph URI defaults to the message
-  uri for the triples form).
+  uri for the triples form);
+- ``text/turtle`` / ``application/trig`` / ``text/n3``: Turtle-family
+  parse (``twine_ray.sources.turtle``; graph from the TriG block, else
+  the message uri).
 
 Unroutable messages are counted and dropped (Twine logs-and-rejects
 unknown types).
@@ -91,10 +94,37 @@ def _nquads_processor(messages_ds, ctx):
     return messages_ds.map_batches(_parse, batch_format="pyarrow")
 
 
+def _turtle_processor(messages_ds, ctx):
+    """Turtle / TriG payload -> parsed triples (graph from TriG block,
+    else the message uri).  Malformed documents are skipped per message
+    (Twine logs-and-rejects a statement/model it cannot parse rather
+    than failing the batch)."""
+    from twine_ray.sources.turtle import TurtleParseError, parse_turtle
+    from twine_ray.stages.triples import TRIPLES_SCHEMA
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        rows = []
+        for uri, payload in zip(
+            batch["uri"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            text = (payload or b"").decode("utf-8", errors="replace")
+            try:
+                rows.extend(parse_turtle(text, default_graph=uri))
+            except TurtleParseError:
+                continue
+        return pa.Table.from_pylist(rows, schema=TRIPLES_SCHEMA)
+
+    return messages_ds.map_batches(_parse, batch_format="pyarrow")
+
+
 register_processor("text/html", _html_processor)
 register_processor("application/xhtml+xml", _html_processor)
 register_processor("application/n-quads", _nquads_processor)
 register_processor("application/n-triples", _nquads_processor)
+register_processor("text/turtle", _turtle_processor)
+register_processor("application/trig", _turtle_processor)
+# librdf also accepts text/n3 for (the common) Turtle-compatible N3
+register_processor("text/n3", _turtle_processor)
 
 
 def dispatch_messages(messages_ds, ctx: dict | None = None):

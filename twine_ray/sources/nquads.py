@@ -4,10 +4,11 @@ The reference parses RDF serializations through librdf
 (``twine:plug-ins/rdf.c`` dispatching into
 ``twine:libtwine/rdf.c::twine_rdf_model_parse``) and hands graphs
 between stages as N-Quads
-(``twine:libtwine/rdf.c::twine_rdf_model_nquads``).  v1 implements the
-regular-grammar members of that family — N-Triples and N-Quads — as a
-pure-Python line parser (no rdflib in the environment; Turtle/RDF-XML
-are out of scope per SURVEY.md §2.2 M1).
+(``twine:libtwine/rdf.c::twine_rdf_model_nquads``).  This module
+implements the regular-grammar members of that family — N-Triples and
+N-Quads — as a pure-Python line parser; Turtle/TriG (context-free) live
+in ``twine_ray.sources.turtle``.  RDF/XML remains out of scope (no XML
+RDF fixtures in the test surface; SURVEY.md §2.2 M1).
 
 Output rows use the engine triple schema (graph, subj, pred, obj,
 obj_is_lit, obj_dt, obj_lang, score) with score 0 (scores are assigned
