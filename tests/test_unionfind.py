@@ -103,3 +103,57 @@ def test_distributed_equals_driver_path(ray_session):
 
 def test_empty_edges(ray_session):
     assert connected_components(_edges_ds([])).count() == 0
+
+
+def test_rewrite_canon_shuffle_equals_broadcast(ray_session):
+    """J2 fallback: the hash-join rewrite path must equal the broadcast
+    path row-for-row (forced via force_shuffle on a small map)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from twine_ray.stages.canon import connected_components
+    from twine_ray.stages.resolve import rewrite_canon, rewrite_canon_auto
+    from twine_ray.stages.triples import TRIPLES_SCHEMA
+    from twine_ray.state.rulebase import OWL_SAMEAS
+
+    def t(subj, pred, obj, is_lit=False):
+        return {
+            "graph": "http://g/" + subj[-1], "subj": subj, "pred": pred,
+            "obj": obj, "obj_is_lit": is_lit, "obj_dt": "",
+            "obj_lang": "", "score": 1,
+        }
+
+    rows = [
+        t("http://e/a", OWL_SAMEAS, "http://e/b"),   # dropped + edge
+        t("http://e/a", "http://p/name", "Alpha", is_lit=True),
+        t("http://e/b", "http://p/knows", "http://e/c"),
+        t("http://e/z", "http://p/knows", "http://e/a"),
+        # literal that textually equals a member key: must NOT rewrite
+        t("http://e/z", "http://p/note", "http://e/a", is_lit=True),
+    ]
+    triples = rd.from_arrow(pa.Table.from_pylist(rows, schema=TRIPLES_SCHEMA))
+    edges = rd.from_arrow(
+        pa.table({"u": ["http://e/a"], "v": ["http://e/b"]})
+    )
+    canon = connected_components(edges)
+
+    def norm(ds):
+        df = ds.to_pandas()
+        return (
+            df.sort_values(list(df.columns))
+            .reset_index(drop=True)
+        )
+
+    bc_ds, canon_rows = rewrite_canon_auto(triples, canon)
+    assert canon_rows is not None
+    sh_ds, none_rows = rewrite_canon_auto(triples, canon, force_shuffle=True)
+    assert none_rows is None
+    bc, sh = norm(bc_ds), norm(sh_ds)
+    pd.testing.assert_frame_equal(bc, sh)
+    # sanity on semantics: sameAs dropped, subj/obj rewritten, literal kept
+    assert not ((bc["pred"] == OWL_SAMEAS) & (bc["graph"].str.startswith("http://g"))).any()
+    proxy = canon_rows[0]["canon"]
+    assert (bc["subj"] == proxy).sum() >= 2
+    lit = bc[(bc["pred"] == "http://p/note")]
+    assert list(lit["obj"]) == ["http://e/a"]

@@ -88,6 +88,40 @@ def cmd_message(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    """Targeted reprocessing — the ``twine -u <plugin> <id>`` analog:
+    given changed url(s) (or explicit bucket ids), invalidate their
+    graph buckets and rerun incrementally, replacing only store buckets
+    whose content actually changed."""
+    import ray.data as rd
+
+    from twine_ray.pipelines.kg import default_alias_rows, run_kg_incremental
+
+    _ray_session()
+    pages = rd.read_parquet(args.input)
+    changed = list(args.url or [])
+    if args.bucket:
+        # explicit bucket ids (bucket->url is not invertible): drop
+        # their raw markers directly; the incremental run then
+        # recomputes them alongside any url-derived invalidations
+        import os
+
+        from twine_ray.stages.materialize import BUCKET_COL
+        from twine_ray.state import checkpoint as ckpt
+
+        ckpt.invalidate_buckets(
+            os.path.join(args.out, "raw"), args.bucket, BUCKET_COL
+        )
+    res = run_kg_incremental(
+        pages, args.out, default_alias_rows(),
+        changed_urls=changed, num_buckets=args.buckets,
+    )
+    print(json.dumps(
+        {**res["metrics"], "changed_buckets": res["changed_buckets"]}
+    ))
+    return 0
+
+
 def cmd_workflow(args) -> int:
     import ray.data as rd
 
@@ -133,6 +167,18 @@ def main(argv=None) -> int:
     pm.add_argument("--uri")
     pm.add_argument("--out")
     pm.set_defaults(fn=cmd_message)
+
+    pu = sub.add_parser(
+        "update", help="incremental reprocess of changed urls/buckets"
+    )
+    pu.add_argument("input")
+    pu.add_argument("--out", required=True)
+    pu.add_argument("--buckets", type=int, default=32)
+    pu.add_argument("-u", "--url", action="append",
+                    help="changed page url (repeatable)")
+    pu.add_argument("-b", "--bucket", action="append", type=int,
+                    help="raw graph bucket id to recompute (repeatable)")
+    pu.set_defaults(fn=cmd_update)
 
     pw = sub.add_parser("workflow", help="config-ordered stage chain")
     pw.add_argument("input")

@@ -35,6 +35,7 @@ from twine_ray.stages.resolve import (
     resolve_and_dedup,
     resolve_for_store,
     rewrite_canon,
+    rewrite_canon_auto,
 )
 from twine_ray.stages.triples import extract_triples
 from twine_ray.state.rulebase import DEFAULT_RULEBASE, OWL_SAMEAS
@@ -100,6 +101,65 @@ def _shuffle_strategy(name: str | None):
         ctx.shuffle_strategy = old
 
 
+def _phase1(pages_ds, raw_dir: str, alias_rows, num_buckets: int,
+            concurrency, resume: bool) -> dict:
+    """Page-scale phase: extract -> dedup -> raw triples -> bucketed
+    checkpoint.  With resume, pages whose graph bucket carries a _DONE
+    marker are filtered out BEFORE extraction (the idempotent-PUT
+    analog)."""
+    from twine_ray.functions.ids import bucket_of
+    from twine_ray.functions.urls import normalize_url
+    from twine_ray.state import checkpoint as ckpt
+
+    done = ckpt.done_buckets(raw_dir) if resume else set()
+    if done:
+        done_arr = pa.array(sorted(done), type=pa.int32())
+
+        def _skip_done(batch: pa.Table) -> pa.Table:
+            # bucket on the NORMALIZED url — graphs (and hence markers)
+            # use the normalized form
+            buckets = pa.array(
+                [bucket_of(normalize_url(u), num_buckets)
+                 for u in batch["url"].to_pylist()],
+                type=pa.int32(),
+            )
+            return batch.filter(
+                pc.invert(pc.is_in(buckets, value_set=done_arr))
+            )
+
+        pages_ds = pages_ds.map_batches(_skip_done, batch_format="pyarrow")
+
+    deduped = extract_with_graph_replace(pages_ds)
+    triples_raw = extract_triples(deduped, alias_rows,
+                                  concurrency=concurrency)
+    return materialize_triples(
+        triples_raw, raw_dir, num_buckets=num_buckets, sort_within=False
+    )
+
+
+def _phase2_resolved(raw_dir: str, rulebase, num_buckets: int):
+    """Entity-scale phase: read raw back -> union-find -> canon rewrite
+    -> fused resolve+sort+bucket.  Returns (resolved_ds, coref stats).
+
+    The raw read feeds BOTH the edge projection and the canon rewrite;
+    two lazy Parquet scans beat pinning 100% of raw in the object store
+    (the edge scan prunes to the sameAs rows immediately)."""
+    raw_ds = read_triple_store(raw_dir).drop_columns(["graph_bucket"])
+    canon_ds = connected_components(sameas_edges(raw_ds))
+    # J2 path choice: broadcast the member->proxy map when it fits a
+    # worker heap, hash-join at entity scale (rows stay distributed)
+    rewritten, canon_rows = rewrite_canon_auto(raw_ds, canon_ds)
+    if canon_rows is not None:
+        n_members = len(canon_rows)
+        n_classes = len({r["canon_id"] for r in canon_rows})
+    else:
+        n_members = canon_ds.count()
+        n_classes = canon_ds.groupby("canon_id").count().count()
+    resolved = resolve_for_store(rewritten, rulebase,
+                                 num_buckets=num_buckets)
+    return resolved, {"members": n_members, "classes": n_classes}
+
+
 def run_kg_pipeline(
     pages_ds,
     out_dir: str,
@@ -125,8 +185,6 @@ def run_kg_pipeline(
     """
     import os
 
-    from twine_ray.functions.ids import bucket_of
-    from twine_ray.functions.urls import normalize_url
     from twine_ray.state import checkpoint as ckpt
 
     raw_dir = os.path.join(out_dir, "raw")
@@ -136,50 +194,21 @@ def run_kg_pipeline(
     # were written with (stale ids would silently drop pages)
     bucketing = {"num_buckets": num_buckets, "scheme": "graph-bucket-v1"}
     ckpt.ensure_manifest(raw_dir, bucketing, reset=not resume)
-    ckpt.ensure_manifest(store_dir, bucketing, reset=not resume)
-
-    done = ckpt.done_buckets(raw_dir) if resume else set()
-    if done:
-        done_arr = pa.array(sorted(done), type=pa.int32())
-
-        def _skip_done(batch: pa.Table) -> pa.Table:
-            # bucket on the NORMALIZED url — graphs (and hence markers)
-            # use the normalized form
-            buckets = pa.array(
-                [bucket_of(normalize_url(u), num_buckets)
-                 for u in batch["url"].to_pylist()],
-                type=pa.int32(),
-            )
-            return batch.filter(
-                pc.invert(pc.is_in(buckets, value_set=done_arr))
-            )
-
-        pages_ds = pages_ds.map_batches(_skip_done, batch_format="pyarrow")
 
     import time
 
     t0 = time.perf_counter()
-    deduped = extract_with_graph_replace(pages_ds)
-    triples_raw = extract_triples(deduped, alias_rows,
-                                  concurrency=concurrency)
-    phase1 = materialize_triples(
-        triples_raw, raw_dir, num_buckets=num_buckets, sort_within=False
-    )
+    phase1 = _phase1(pages_ds, raw_dir, alias_rows, num_buckets,
+                     concurrency, resume)
     t1 = time.perf_counter()
 
-    # ---- phase 2: global canonicalization over the checkpointed raw ----
-    # the raw read feeds BOTH the edge projection and the canon rewrite;
-    # two lazy Parquet scans beat pinning 100%% of raw in the object
-    # store (the edge scan prunes to the sameAs rows immediately)
-    raw_ds = read_triple_store(raw_dir).drop_columns(["graph_bucket"])
-    canon_rows = connected_components(sameas_edges(raw_ds)).take_all()
+    resolved, coref = _phase2_resolved(raw_dir, rulebase, num_buckets)
+    n_members, n_classes = coref["members"], coref["classes"]
     t2 = time.perf_counter()
-    rewritten = rewrite_canon(raw_ds, canon_rows)
-    resolved = resolve_for_store(rewritten, rulebase,
-                                 num_buckets=num_buckets)
 
     # store is rebuilt each run: clear stale markers so buckets replace
     ckpt_dir_reset(store_dir)
+    ckpt.ensure_manifest(store_dir, bucketing)
     with _shuffle_strategy(phase2_shuffle):
         phase2 = materialize_triples(
             resolved, store_dir, num_buckets=num_buckets, prepared=True
@@ -187,11 +216,10 @@ def run_kg_pipeline(
     t3 = time.perf_counter()
     from twine_ray.stages.materialize import read_lineage
 
-    n_classes = len({r["canon_id"] for r in canon_rows})
     return {
         "raw": phase1,
         "store": phase2,
-        "n_canon_members": len(canon_rows),
+        "n_canon_members": n_members,
         "raw_dir": raw_dir,
         "store_dir": store_dir,
         # A4 metrics + per-partition lineage (north_rule)
@@ -201,7 +229,7 @@ def run_kg_pipeline(
             "phase2_sec": round(t3 - t2, 3),
             "raw_triples": phase1["rows"],
             "store_triples": phase2["rows"],
-            "coref_members": len(canon_rows),
+            "coref_members": n_members,
             "coref_classes": n_classes,
             "raw_buckets": len(phase1["buckets"]),
             "store_buckets": len(phase2["buckets"]),
@@ -210,6 +238,182 @@ def run_kg_pipeline(
             "raw": read_lineage(raw_dir),
             "store": read_lineage(store_dir),
         },
+    }
+
+
+def _bucket_signatures(store_dir: str) -> dict[int, tuple]:
+    """Order-independent per-bucket content signature of a triple
+    store: two independently-mixed row-hash sums + row count per
+    graph_bucket — one streaming scan, no shuffle of row data (the
+    aggregate is num_buckets rows)."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    cols = ["graph", "subj", "pred", "obj", "obj_is_lit", "obj_dt",
+            "obj_lang", "score"]
+
+    def _sig(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(df), dtype=np.uint64)
+        for c in cols:
+            hc = pd.util.hash_pandas_object(
+                df[c], index=False, categorize=False
+            ).to_numpy().astype(np.uint64)
+            h = h * np.uint64(1099511628211) + hc
+        g = pd.DataFrame(
+            {
+                "b": df["graph_bucket"].astype("int64"),
+                "s1": (h % (1 << 31)).astype("int64"),
+                "s2": ((h * np.uint64(0x9E3779B97F4A7C15))
+                       % (1 << 31)).astype("int64"),
+                "n": np.ones(len(df), dtype="int64"),
+            }
+        )
+        return g.groupby("b", as_index=False).sum()
+
+    agg = (
+        read_triple_store(store_dir)
+        .map_batches(_sig, batch_format="pandas")
+        .groupby("b")
+        .aggregate(Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2"),
+                   Sum("n", alias_name="n"))
+        .take_all()
+    )
+    return {int(r["b"]): (r["s1"], r["s2"], r["n"]) for r in agg}
+
+
+def run_kg_incremental(
+    pages_ds,
+    out_dir: str,
+    alias_rows,
+    changed_urls,
+    *,
+    num_buckets: int = 32,
+    concurrency=4,
+    rulebase=DEFAULT_RULEBASE,
+    phase2_shuffle: str | None = "HASH_SHUFFLE",
+) -> dict:
+    """Incremental mode (SURVEY.md §2.4 J3/S5; the ``twine -u`` update
+    analog): reprocess only what a set of changed pages touches.
+
+    1. Raw buckets containing a changed url are invalidated; phase 1
+       reruns with resume=True, so ONLY those buckets' pages re-extract.
+    2. Phase 2 recomputes into ``store.tmp`` (canonicalization is
+       global — a changed sameAs edge can rewrite any graph).
+    3. Old-vs-new per-bucket signatures (streaming scans) pick out the
+       store buckets whose content actually changed; only those have
+       their data/lineage/markers replaced — unchanged buckets keep
+       byte-identical files and lineage, so downstream consumers can
+       skip them.  The re-PUT row set (J3 ``triples_diff`` over the
+       changed buckets only) is reported in the metrics.
+
+    ``pages_ds`` must be the FULL current corpus (a bucket is the unit
+    of recomputation and contains unchanged pages too).
+    """
+    import os
+    import shutil
+    import time
+
+    from twine_ray.functions.ids import bucket_of
+    from twine_ray.functions.urls import normalize_url
+    from twine_ray.stages.diff import dataset_except
+    from twine_ray.stages.materialize import BUCKET_COL, read_lineage
+    from twine_ray.state import checkpoint as ckpt
+
+    raw_dir = os.path.join(out_dir, "raw")
+    store_dir = os.path.join(out_dir, "store")
+    tmp_store = store_dir + ".tmp"
+
+    bucketing = {"num_buckets": num_buckets, "scheme": "graph-bucket-v1"}
+    ckpt.ensure_manifest(raw_dir, bucketing)   # raises on mismatch
+    ckpt.ensure_manifest(store_dir, bucketing)
+
+    t0 = time.perf_counter()
+    invalidated = sorted(
+        {bucket_of(normalize_url(u), num_buckets) for u in changed_urls}
+    )
+    ckpt.invalidate_buckets(raw_dir, invalidated, BUCKET_COL)
+    phase1 = _phase1(pages_ds, raw_dir, alias_rows, num_buckets,
+                     concurrency, resume=True)
+    t1 = time.perf_counter()
+
+    resolved, coref = _phase2_resolved(raw_dir, rulebase, num_buckets)
+    ckpt_dir_reset(tmp_store)
+    ckpt.ensure_manifest(tmp_store, bucketing)
+    with _shuffle_strategy(phase2_shuffle):
+        materialize_triples(
+            resolved, tmp_store, num_buckets=num_buckets, prepared=True
+        )
+    t2 = time.perf_counter()
+
+    old_sigs = _bucket_signatures(store_dir)
+    new_sigs = _bucket_signatures(tmp_store)
+    changed = sorted(
+        b for b in set(old_sigs) | set(new_sigs)
+        if old_sigs.get(b) != new_sigs.get(b)
+    )
+
+    # J3 consumption: the incremental re-PUT set, computed only over
+    # the changed buckets (both sides pruned before the diff shuffle)
+    n_reput = 0
+    if changed:
+        changed_arr = pa.array(changed, type=pa.int32())
+
+        def _only_changed(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(
+                    pc.cast(batch[BUCKET_COL], pa.int32()),
+                    value_set=changed_arr,
+                )
+            )
+
+        key = ["graph", "subj", "pred", "obj", "obj_is_lit", "obj_dt",
+               "obj_lang"]
+        new_changed = read_triple_store(tmp_store).map_batches(
+            _only_changed, batch_format="pyarrow"
+        )
+        old_changed = read_triple_store(store_dir).map_batches(
+            _only_changed, batch_format="pyarrow"
+        )
+        n_reput = dataset_except(new_changed, old_changed, key).count()
+
+        # swap ONLY the changed buckets into the live store
+        for b in changed:
+            part = f"{BUCKET_COL}={b}"
+            ckpt.invalidate_buckets(store_dir, [b], BUCKET_COL)
+            src = os.path.join(ckpt.data_dir(tmp_store), part)
+            if os.path.isdir(src):  # absent = bucket deleted entirely
+                os.makedirs(ckpt.data_dir(store_dir), exist_ok=True)
+                os.replace(src, os.path.join(ckpt.data_dir(store_dir), part))
+                lin = os.path.join(tmp_store, "_LINEAGE", f"{b}.json")
+                if os.path.exists(lin):
+                    os.makedirs(os.path.join(store_dir, "_LINEAGE"),
+                                exist_ok=True)
+                    os.replace(lin,
+                               os.path.join(store_dir, "_LINEAGE",
+                                            f"{b}.json"))
+                ckpt.mark_done(store_dir, [b])
+    shutil.rmtree(tmp_store, ignore_errors=True)
+    t3 = time.perf_counter()
+
+    store_rows = sum(s[2] for s in new_sigs.values())
+    return {
+        "raw": phase1,
+        "raw_dir": raw_dir,
+        "store_dir": store_dir,
+        "metrics": {
+            "phase1_sec": round(t1 - t0, 3),
+            "phase2_sec": round(t2 - t1, 3),
+            "swap_sec": round(t3 - t2, 3),
+            "invalidated_raw_buckets": len(invalidated),
+            "changed_store_buckets": len(changed),
+            "reput_triples": n_reput,
+            "store_triples": store_rows,
+            "coref_members": coref["members"],
+            "coref_classes": coref["classes"],
+        },
+        "changed_buckets": changed,
+        "lineage": {"store": read_lineage(store_dir)},
     }
 
 

@@ -96,6 +96,134 @@ def rewrite_canon(triples_ds, canon_rows: list[dict]):
     return rewritten
 
 
+# Entity-scale canon maps above this stop being broadcastable (the
+# member->proxy dict would not fit a worker heap); mirror of
+# canon.DRIVER_EDGE_LIMIT and mentions.link_mentions_shuffle (ST2).
+CANON_BROADCAST_LIMIT = 2_000_000
+
+
+def rewrite_canon_shuffle(triples_ds, canon_ds, num_partitions=None):
+    """Shuffle-join canon rewrite (J2 fallback for entity-scale maps,
+    VERDICT.md round-1 missing #5): instead of broadcasting the
+    member->proxy dict, hash-join triples to the canon_map Dataset on
+    subj, then on obj — two wide exchanges, but nothing driver-side.
+
+    Matches ``rewrite_canon`` exactly (tested equal): raw sameAs rows
+    dropped, unmatched URIs pass through, literals never rewritten,
+    membership triples for classes >= 2 unioned in (computed
+    distributed from the canon Dataset, never collected).
+    """
+    import pyarrow.compute as pc
+
+    from twine_ray.stages.grouped import default_num_partitions
+    from twine_ray.state.rulebase import DEFAULT_RULEBASE
+
+    n_parts = num_partitions or default_num_partitions(hi=64)
+
+    def _drop_sameas(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch["pred"], OWL_SAMEAS))
+
+    ds = triples_ds.map_batches(
+        _drop_sameas, batch_format="pyarrow"
+    ).repartition(n_parts)
+
+    # right sides need their own key names (Ray's hash join mishandles
+    # identically-named keys) and a repartition (empty-schema blocks)
+    subj_map = canon_ds.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"smk": t["member_key"], "scanon": t["canon"]}
+        ),
+        batch_format="pyarrow",
+    ).repartition(n_parts)
+    obj_map = canon_ds.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"omk": t["member_key"], "ocanon": t["canon"]}
+        ),
+        batch_format="pyarrow",
+    ).repartition(n_parts)
+
+    j1 = ds.join(
+        subj_map, join_type="left_outer", num_partitions=n_parts,
+        on=("subj",), right_on=("smk",),
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "graph": t["graph"],
+                "subj": pc.coalesce(
+                    t["scanon"].combine_chunks(),
+                    t["subj"].combine_chunks(),
+                ),
+                "pred": t["pred"],
+                "obj": t["obj"],
+                "obj_is_lit": t["obj_is_lit"],
+                "obj_dt": t["obj_dt"],
+                "obj_lang": t["obj_lang"],
+                "score": t["score"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).repartition(n_parts)
+
+    def _apply_obj(t: pa.Table) -> pa.Table:
+        is_uri = pc.invert(t["obj_is_lit"].combine_chunks())
+        hit = pc.and_(is_uri, pc.is_valid(t["ocanon"].combine_chunks()))
+        obj = pc.if_else(
+            hit, t["ocanon"].combine_chunks(), t["obj"].combine_chunks()
+        )
+        return pa.Table.from_pydict(
+            {
+                "graph": t["graph"], "subj": t["subj"], "pred": t["pred"],
+                "obj": obj, "obj_is_lit": t["obj_is_lit"],
+                "obj_dt": t["obj_dt"], "obj_lang": t["obj_lang"],
+                "score": t["score"],
+            },
+            schema=TRIPLES_SCHEMA,
+        )
+
+    rewritten = j1.join(
+        obj_map, join_type="left_outer", num_partitions=n_parts,
+        on=("obj",), right_on=("omk",),
+    ).map_batches(_apply_obj, batch_format="pyarrow")
+
+    score = DEFAULT_RULEBASE.score(OWL_SAMEAS)
+
+    def _members(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.greater_equal(t["n_members"], 2))
+        n = sel.num_rows
+        return pa.Table.from_pydict(
+            {
+                "graph": sel["canon"],
+                "subj": sel["canon"],
+                "pred": pa.array([OWL_SAMEAS] * n, type=pa.string()),
+                "obj": sel["member_key"],
+                "obj_is_lit": pa.array([False] * n, type=pa.bool_()),
+                "obj_dt": pa.array([""] * n, type=pa.string()),
+                "obj_lang": pa.array([""] * n, type=pa.string()),
+                "score": pa.array([score] * n, type=pa.int32()),
+            },
+            schema=TRIPLES_SCHEMA,
+        )
+
+    members = canon_ds.map_batches(_members, batch_format="pyarrow")
+    return rewritten.union(members)
+
+
+def rewrite_canon_auto(triples_ds, canon_ds,
+                       driver_limit: int = CANON_BROADCAST_LIMIT,
+                       force_shuffle: bool = False):
+    """Pick the J2 execution path by canon-map size: broadcast when the
+    member->proxy map fits a worker heap (the normal case — the entity
+    graph is orders of magnitude smaller than the corpus), hash-join
+    otherwise.  Returns (rewritten_ds, canon_rows_or_None) — rows are
+    only collected on the broadcast path."""
+    canon_ds = canon_ds.materialize()
+    n = canon_ds.count()
+    if not force_shuffle and n <= driver_limit:
+        canon_rows = canon_ds.take_all()
+        return rewrite_canon(triples_ds, canon_rows), canon_rows
+    return rewrite_canon_shuffle(triples_ds, canon_ds), None
+
+
 # ---------------------------------------------------------------------------
 # A2 + A5
 # ---------------------------------------------------------------------------

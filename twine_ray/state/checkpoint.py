@@ -85,6 +85,26 @@ def mark_done(out_dir: str, buckets) -> None:
         os.replace(tmp, os.path.join(d, str(int(b))))
 
 
+def invalidate_buckets(out_dir: str, buckets, bucket_col: str) -> None:
+    """Targeted invalidation (``twine -u`` analog): drop the _DONE
+    marker, data partition dir and lineage record of each bucket so the
+    next resumed run recomputes exactly those buckets."""
+    for b in buckets:
+        b = int(b)
+        for path in (
+            os.path.join(_marker_dir(out_dir), str(b)),
+            os.path.join(out_dir, "_LINEAGE", f"{b}.json"),
+        ):
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+        shutil.rmtree(
+            os.path.join(data_dir(out_dir), f"{bucket_col}={b}"),
+            ignore_errors=True,
+        )
+
+
 def clean_unmarked(out_dir: str, bucket_col: str) -> list[int]:
     """Remove partition dirs left by a crashed run (data, no marker).
 
