@@ -9,9 +9,25 @@ here (nor in twine_ray) calls ``ray.init()`` / ``ray.shutdown()``.
   the training-data extras (dedup / similarity / text analysis).
 - ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible
   query (same column names; float aggregates in integer micro-units on
-  both sides so hashes match bit-for-bit).  KG-specific pipelines over
-  the synthesized pages corpus are rows-only (non-SQL-expressible);
-  their deep verification lives in tests/ (golden fixtures, P/R gate).
+  both sides so hashes match bit-for-bit).
+
+Queries WITHOUT an oracle entry are genuinely non-SQL-expressible; the
+driver's rows-only check is backed by deeper verification in tests/:
+
+- kg_flagship / kg_extract / kg_mentions: P/R = 1.0 gate against the
+  deterministic world truth + byte-identical extraction at two
+  parallelism levels (tests/test_kg_e2e.py); the SQL-expressible slice
+  of the same path IS oracled as ``kg_extract_meta``.
+- dedup_minhash: distributed pipeline equals the driver-side LSH spec
+  and a brute-force reference on a 50%-dup corpus (tests/test_dedup.py).
+- dedup_simhash: signature needs per-token blake2b (no such function
+  in DuckDB); banded verify tested against scalar hamming64.
+- ann_lsh / ann_ivf: approximate by design — recall>=threshold gates
+  vs the exact ann_topk (tests/test_similarity.py), which IS oracled.
+- doc_langid / doc_quality / doc_fingerprints: heuristic scores pinned
+  to their frozen scalar specs (tests/test_grouped_text.py).
+- media_features / media_frames: decode kernel is a declared sandbox
+  stand-in; plumbing pinned by tests/test_multimodal.py.
 """
 
 from __future__ import annotations

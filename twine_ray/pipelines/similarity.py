@@ -218,13 +218,26 @@ def q_ann_lsh(sf_dir: str, k: int = DEFAULT_K, n_tables: int = 8,
     return _merge_topk(parts, k)
 
 
+MAX_EMBED_NEARDUP_ROWS = 20_000
+
+
 def q_embed_neardup(sf_dir: str, threshold: float = 0.4,
                     max_id: int = 300):
     """Embedding-cosine near-dup pairs (cosine >= threshold) among
     vec_id < max_id (bounded so the SQL oracle's pairwise join stays
-    small). Returns (a, b, cosine)."""
+    small). Returns (a, b, cosine).
+
+    NOT the scale path: this is the all-pairs ORACLE query, contract-
+    bounded by ``max_id`` and guarded below — point ``q_ann_lsh`` (or
+    IVF) at a full corpus instead (VERDICT.md round-1 note)."""
     ds = _emb(sf_dir).filter(expr=f"vec_id < {max_id}")
     df = ds.to_pandas().sort_values("vec_id")
+    if len(df) > MAX_EMBED_NEARDUP_ROWS:
+        raise ValueError(
+            f"q_embed_neardup is the bounded all-pairs oracle "
+            f"({len(df)} rows > {MAX_EMBED_NEARDUP_ROWS}); use q_ann_lsh "
+            "/ q_ann_ivf for corpus-scale near-dup"
+        )
     ids = df["vec_id"].to_numpy()
     mat = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
     sims = mat @ mat.T
