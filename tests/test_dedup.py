@@ -88,7 +88,10 @@ def _brute_jaccard_pairs(docs: pd.DataFrame, threshold: float = 0.5):
 
 
 def test_minhash_distributed_equals_driver_spec(ray_session, sf_dir):
-    got = q_dedup_minhash(sf_dir).to_pandas().reset_index(drop=True)
+    got = (
+        q_dedup_minhash(sf_dir).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
     docs = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).to_pandas()
@@ -135,7 +138,10 @@ def dup_dense_dir(tmp_path_factory):
 
 
 def test_minhash_dup_dense_corpus(ray_session, dup_dense_dir):
-    got = q_dedup_minhash(dup_dense_dir).to_pandas()
+    got = (
+        q_dedup_minhash(dup_dense_dir).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
     # every doc is in a cluster of exactly its 4 exact copies
     assert len(got) == 400
     assert (got["n_cluster"] >= 4).all()

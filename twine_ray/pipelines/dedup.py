@@ -210,6 +210,7 @@ def _verify_jaccard(pairs_ds, shingle_ds, threshold: float,
         from twine_ray.stages.grouped import default_num_partitions
 
         n_parts = default_num_partitions(hi=64)
+    n_parts = max(2, n_parts)
 
     # repartition: groupby/map_groups outputs can carry empty-schema
     # blocks that break Ray 2.49's hash join
@@ -311,8 +312,18 @@ def q_dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
 
         docs_for_verify = ds.map_batches(_flt, batch_format="pyarrow")
 
+    from twine_ray.stages.grouped import default_num_partitions
+
     shingle_ds = _shingle_sets(docs_for_verify)
-    verified = _verify_jaccard(pairs, shingle_ds, threshold)
+    # size the verify exchanges to the candidate set, not the cluster —
+    # every join partition is an aggregator actor, pure overhead when
+    # the pair list is tiny (and corpus-dense candidates still scale up
+    # to the CPU cap)
+    verified = _verify_jaccard(
+        pairs, shingle_ds, threshold,
+        n_parts=default_num_partitions(hi=64, rows=2 * n_pairs,
+                                       rows_per_partition=25_000),
+    )
 
     def _edges(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -337,7 +348,10 @@ def q_dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
             }
         )
 
-    return canon.map_batches(_out, batch_format="pandas").sort("doc_id")
+    # no final sort: cluster membership is corpus-scale on dup-dense
+    # input and every consumer (driver hash compare, tests) is
+    # order-insensitive — an all-to-all sort would be pure cost
+    return canon.map_batches(_out, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -464,5 +478,11 @@ def q_dedup_jaccard(sf_dir: str, threshold: float = 0.5):
     def _dedup(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates()
 
-    pairs = bucketed_group_reduce(pairs, ["a", "b"], _dedup)
-    return _verify_jaccard(pairs, _shingle_sets(ds), threshold)
+    pairs = bucketed_group_reduce(pairs, ["a", "b"], _dedup).materialize()
+    from twine_ray.stages.grouped import default_num_partitions
+
+    return _verify_jaccard(
+        pairs, _shingle_sets(ds), threshold,
+        n_parts=default_num_partitions(hi=64, rows=2 * pairs.count(),
+                                       rows_per_partition=25_000),
+    )

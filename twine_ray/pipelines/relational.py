@@ -211,7 +211,8 @@ def q_join_shuffle(sf_dir: str):
     joined = li.join(
         orders,
         join_type="inner",
-        num_partitions=default_num_partitions(hi=32),
+        # size the exchange to the larger side (parquet metadata count)
+        num_partitions=default_num_partitions(hi=32, rows=li.count()),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -651,7 +652,7 @@ def q_conditional_agg(sf_dir: str):
 
     joined = li.join(
         orders, join_type="inner",
-        num_partitions=default_num_partitions(hi=32),
+        num_partitions=default_num_partitions(hi=32, rows=li.count()),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
