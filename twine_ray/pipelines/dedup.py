@@ -24,7 +24,6 @@ import pandas as pd
 import pyarrow as pa
 
 from twine_ray.functions.fingerprint import (
-    hamming64,
     jaccard,
     lsh_band_keys,
     minhash_params,
@@ -32,6 +31,7 @@ from twine_ray.functions.fingerprint import (
     simhash64,
     word_shingles,
 )
+
 NUM_PERM = 128
 BANDS = 32  # 32 bands x 4 rows: catches J >= ~0.5 reliably
 JACCARD_THRESHOLD = 0.8

@@ -127,6 +127,29 @@ register_processor("application/trig", _turtle_processor)
 register_processor("text/n3", _turtle_processor)
 
 
+def _rdfxml_processor(messages_ds, ctx):
+    """RDF/XML payload -> parsed triples (graph = message uri);
+    malformed documents skipped per message like the Turtle path."""
+    from twine_ray.sources.rdfxml import RdfXmlParseError, parse_rdfxml
+    from twine_ray.stages.triples import TRIPLES_SCHEMA
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        rows = []
+        for uri, payload in zip(
+            batch["uri"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            try:
+                rows.extend(parse_rdfxml(payload or b"", default_graph=uri))
+            except RdfXmlParseError:
+                continue
+        return pa.Table.from_pylist(rows, schema=TRIPLES_SCHEMA)
+
+    return messages_ds.map_batches(_parse, batch_format="pyarrow")
+
+
+register_processor("application/rdf+xml", _rdfxml_processor)
+
+
 def dispatch_messages(messages_ds, ctx: dict | None = None):
     """Route a message Dataset through the per-MIME processors; returns
     (triples Dataset, route_counts dict)."""

@@ -1,0 +1,204 @@
+"""RDF/XML parsing (SURVEY.md §2.2 M1 — final serialization gap).
+
+The reference accepts ``application/rdf+xml`` through librdf
+(``twine:plug-ins/rdf.c`` -> ``twine_rdf_model_parse``).  This is a
+from-scratch stdlib ``xml.etree`` implementation of the practical
+RDF/XML subset:
+
+- ``rdf:RDF`` root (or a single node element as the root)
+- node elements: ``rdf:Description`` and typed nodes (tag => rdf:type)
+- ``rdf:about`` / ``rdf:ID`` / ``rdf:nodeID`` subjects, fresh bnodes
+- property elements: ``rdf:resource``, ``rdf:nodeID``, nested node
+  elements, text literals with ``rdf:datatype`` / inherited ``xml:lang``
+- ``rdf:parseType="Resource"`` (anonymous property grouping)
+- property ATTRIBUTES on node elements (the common abbreviation)
+- ``xml:base`` resolution for relative IRIs (about/resource/ID)
+
+``rdf:parseType="Literal"``/"Collection" and reification are not
+emitted (no fixtures in the conformance surface; raise for Literal,
+Collection expands like Turtle's ``(...)``).  Output rows use the
+engine triple schema; malformed XML raises ``RdfXmlParseError``.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from urllib.parse import urljoin
+
+from twine_ray.stages.triples import TRIPLES_SCHEMA  # noqa: F401  (re-export)
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XML_NS = "http://www.w3.org/XML/1998/namespace"
+RDF_TYPE = RDF_NS + "type"
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
+
+_RDF = lambda local: f"{{{RDF_NS}}}{local}"  # noqa: E731
+_SYNTAX_ATTRS = {
+    _RDF("about"), _RDF("ID"), _RDF("nodeID"), _RDF("resource"),
+    _RDF("datatype"), _RDF("parseType"),
+    f"{{{XML_NS}}}lang", f"{{{XML_NS}}}base",
+}
+
+
+class RdfXmlParseError(ValueError):
+    pass
+
+
+def _expand_tag(tag: str) -> str:
+    """'{ns}local' -> ns+local IRI."""
+    if tag.startswith("{"):
+        ns, local = tag[1:].split("}", 1)
+        return ns + local
+    raise RdfXmlParseError(f"unnamespaced element <{tag}>")
+
+
+class _Parser:
+    def __init__(self, default_graph: str) -> None:
+        self.graph = default_graph
+        self.rows: list[dict] = []
+        self._bn = 0
+
+    def fresh_bnode(self) -> str:
+        self._bn += 1
+        return f"_:xb{self._bn}"
+
+    def emit(self, subj: str, pred: str, obj: str, is_lit: bool,
+             dt: str = "", lang: str = "") -> None:
+        self.rows.append(
+            {
+                "graph": self.graph, "subj": subj, "pred": pred,
+                "obj": obj, "obj_is_lit": is_lit, "obj_dt": dt,
+                "obj_lang": lang, "score": 0,
+            }
+        )
+
+    def parse(self, root: ET.Element, base: str, lang: str) -> None:
+        base = root.get(f"{{{XML_NS}}}base", base)
+        lang = root.get(f"{{{XML_NS}}}lang", lang)
+        if _expand_tag(root.tag) == RDF_NS + "RDF":
+            for child in root:
+                self.node_element(child, base, lang)
+        else:
+            self.node_element(root, base, lang)
+
+    def _subject_of(self, el: ET.Element, base: str) -> str:
+        about = el.get(_RDF("about"))
+        rid = el.get(_RDF("ID"))
+        nid = el.get(_RDF("nodeID"))
+        if sum(x is not None for x in (about, rid, nid)) > 1:
+            raise RdfXmlParseError(
+                "at most one of rdf:about/rdf:ID/rdf:nodeID allowed"
+            )
+        if about is not None:
+            return urljoin(base, about) if base else about
+        if rid is not None:
+            return urljoin(base, f"#{rid}") if base else f"#{rid}"
+        if nid is not None:
+            return f"_:{nid}"
+        return self.fresh_bnode()
+
+    def node_element(self, el: ET.Element, base: str, lang: str) -> str:
+        base = el.get(f"{{{XML_NS}}}base", base)
+        lang = el.get(f"{{{XML_NS}}}lang", lang)
+        subj = self._subject_of(el, base)
+        tag_iri = _expand_tag(el.tag)
+        if tag_iri != RDF_NS + "Description":
+            self.emit(subj, RDF_TYPE, tag_iri, False)
+        # property attributes (abbreviated literal properties)
+        for attr, val in el.attrib.items():
+            if attr in _SYNTAX_ATTRS or not attr.startswith("{"):
+                continue
+            pred = _expand_tag(attr)
+            if pred.startswith(RDF_NS):
+                continue
+            self.emit(subj, pred, val, True, "", lang)
+        for prop in el:
+            self.property_element(subj, prop, base, lang)
+        return subj
+
+    def property_element(self, subj: str, el: ET.Element, base: str,
+                         lang: str) -> None:
+        base = el.get(f"{{{XML_NS}}}base", base)
+        lang = el.get(f"{{{XML_NS}}}lang", lang)
+        pred = _expand_tag(el.tag)
+        parse_type = el.get(_RDF("parseType"))
+        resource = el.get(_RDF("resource"))
+        nid = el.get(_RDF("nodeID"))
+        dt = el.get(_RDF("datatype"))
+        children = list(el)
+
+        if parse_type == "Resource":
+            node = self.fresh_bnode()
+            self.emit(subj, pred, node, False)
+            for sub in children:
+                self.property_element(node, sub, base, lang)
+            return
+        if parse_type == "Collection":
+            items = [self.node_element(c, base, lang) for c in children]
+            if not items:
+                self.emit(subj, pred, RDF_NIL, False)
+                return
+            head = self.fresh_bnode()
+            self.emit(subj, pred, head, False)
+            node = head
+            for i, item in enumerate(items):
+                self.emit(node, RDF_FIRST, item, False)
+                if i + 1 < len(items):
+                    nxt = self.fresh_bnode()
+                    self.emit(node, RDF_REST, nxt, False)
+                    node = nxt
+                else:
+                    self.emit(node, RDF_REST, RDF_NIL, False)
+            return
+        if parse_type is not None:
+            raise RdfXmlParseError(f"unsupported parseType {parse_type!r}")
+        if resource is not None:
+            obj = urljoin(base, resource) if base else resource
+            self.emit(subj, pred, obj, False)
+            return
+        if nid is not None:
+            self.emit(subj, pred, f"_:{nid}", False)
+            return
+        if children:
+            if len(children) != 1:
+                raise RdfXmlParseError(
+                    f"property <{pred}> must contain one node element"
+                )
+            obj = self.node_element(children[0], base, lang)
+            self.emit(subj, pred, obj, False)
+            return
+        text = el.text or ""
+        self.emit(subj, pred, text, True, dt or "", "" if dt else lang.lower())
+
+
+def parse_rdfxml(payload: bytes | str, default_graph: str = "") -> list[dict]:
+    """Parse an RDF/XML document into triple-schema rows."""
+    if isinstance(payload, str):
+        payload = payload.encode("utf-8")
+    try:
+        root = ET.fromstring(payload)
+    except ET.ParseError as ex:
+        raise RdfXmlParseError(f"not well-formed XML: {ex}") from ex
+    p = _Parser(default_graph)
+    p.parse(root, base="", lang="")
+    return p.rows
+
+
+def read_rdfxml(paths, default_graph: str = ""):
+    """Bulk RDF/XML load: one document per file (like read_turtle)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        rows = []
+        for path, payload in zip(
+            batch["path"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            rows.extend(parse_rdfxml(payload or b"", default_graph or path))
+        return pa.Table.from_pylist(rows, schema=TRIPLES_SCHEMA)
+
+    return ds.map_batches(_parse, batch_format="pyarrow")

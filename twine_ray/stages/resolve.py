@@ -23,7 +23,6 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-from twine_ray.stages.canon import CANON_SCHEMA
 from twine_ray.stages.triples import TRIPLES_SCHEMA
 from twine_ray.state.rulebase import DEFAULT_RULEBASE, OWL_SAMEAS
 
