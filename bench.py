@@ -44,6 +44,15 @@ def _init_ray(num_cpus: int) -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # Block count is DATA-determined and identical at every parallelism
+    # level — on a real N- vs 4N-node cluster the corpus splits into the
+    # same 128 MB-target blocks regardless of cluster size, so a faithful
+    # scaling comparison must not vary the block plan with num_cpus
+    # (per-CPU-proportional blocks change the workload between legs).
+    # 128 blocks ≈ 4.7k pages each at the 600k bench corpus; Ray's
+    # static floor of 200 made ~3 MB blocks whose per-block exchange
+    # orchestration (~0.1 s each) dominated both legs.
+    ctx.read_op_min_num_blocks = 128
 
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "100000"))
@@ -178,10 +187,14 @@ def run_scaling() -> dict:
     """Same job, two parallelism levels, fresh processes (BASELINE.md)."""
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        # the scaling comparison uses a larger corpus (default 600k
-        # pages) so compute dominates the fixed per-run costs — the
-        # shared /tmp corpus is generated once and reused by both legs
-        env.setdefault("BENCH_PAGES", "600000")
+        # the scaling comparison uses a larger corpus so compute
+        # dominates the fixed per-run costs — the shared /tmp corpus is
+        # generated once and reused byte-identically by both legs.
+        # 2.4M pages: large enough that per-block orchestration (which
+        # does not scale linearly with CPUs) is amortized by compute —
+        # at 600k pages overhead is ~3/4 of the 8-CPU wall and the
+        # ratio measures the engine's fixed costs, not its scaling
+        env.setdefault("BENCH_PAGES", "2400000")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--kg-only"],
             env=env, capture_output=True, text=True, check=True,

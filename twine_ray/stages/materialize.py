@@ -84,11 +84,22 @@ def materialize_triples(
                 _sort, batch_format="pandas"
             )
         else:
-            # unsorted (raw checkpoint) path: no shuffle — just coalesce
-            # blocks so partition_cols doesn't explode into
-            # blocks x buckets tiny files (file count = blocks x buckets;
-            # it also bounds the read-back fan-in of phase 2)
-            ds = ds.repartition(8)
+            # unsorted (raw checkpoint) path: co-locate each bucket with
+            # a groupby so partition_cols writes ONE file per bucket
+            # instead of blocks x buckets tiny files.  This replaced
+            # ``repartition(n)``: Ray 2.49's non-shuffle repartition has
+            # a SINGLE-TASK reduce step (ds.stats(): RepartitionReduce
+            # "1 tasks executed") that funnels the whole raw stream
+            # through one worker — ~20 s of serial time on every leg and
+            # the dominant non-scaling residual in the 8-vs-32-CPU gate.
+            # The groupby's sample-sort exchange is imperfect on a
+            # 32-distinct-key column but fully parallel.
+            def _ident(df: pd.DataFrame) -> pd.DataFrame:
+                return df
+
+            ds = ds.groupby(BUCKET_COL).map_groups(
+                _ident, batch_format="pandas"
+            )
 
     # Streaming write — no driver-side materialization of the store.
     ds.write_parquet(ckpt.data_dir(out_dir), partition_cols=[BUCKET_COL])
