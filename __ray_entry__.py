@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conditional_agg": relational.q_conditional_agg,
         "join_multi": relational.q_join_multi,
         "session_windows": relational.q_session_windows,
+        "hopping_windows": relational.q_hopping_windows,
         # --- text analysis over documents
         "doc_lang_counts": text.q_doc_lang_counts,
         "doc_nchars": text.q_doc_nchars,
@@ -289,6 +290,20 @@ def oracle_sql() -> dict[str, str]:
                    {_usum('value')} AS sum_value
             FROM events
             GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "hopping_windows": f"""
+            -- 60-min windows hopping every 15 min: each event belongs
+            -- to 4 windows; window starts in integer microseconds so
+            -- timestamps match the pipeline bit-for-bit.
+            SELECT event_type,
+                   make_timestamp(
+                       (epoch_us(ts) // 900000000) * 900000000
+                       - k.k * 900000000) AS window_start,
+                   COUNT(*) AS n_events,
+                   {_usum('value')} AS sum_value
+            FROM events
+            CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+            GROUP BY 1, 2
         """,
         "latest_event_per_user": """
             SELECT event_id, ts, user_id, event_type FROM (

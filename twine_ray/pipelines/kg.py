@@ -137,7 +137,8 @@ def _phase1(pages_ds, raw_dir: str, alias_rows, num_buckets: int,
     )
 
 
-def _phase2_resolved(raw_dir: str, rulebase, num_buckets: int):
+def _phase2_resolved(raw_dir: str, rulebase, num_buckets: int,
+                     salt: int = 1):
     """Entity-scale phase: read raw back -> union-find -> canon rewrite
     -> fused resolve+sort+bucket.  Returns (resolved_ds, coref stats).
 
@@ -156,7 +157,7 @@ def _phase2_resolved(raw_dir: str, rulebase, num_buckets: int):
         n_members = canon_ds.count()
         n_classes = canon_ds.groupby("canon_id").count().count()
     resolved = resolve_for_store(rewritten, rulebase,
-                                 num_buckets=num_buckets)
+                                 num_buckets=num_buckets, salt=salt)
     return resolved, {"members": n_members, "classes": n_classes}
 
 
@@ -170,8 +171,13 @@ def run_kg_pipeline(
     resume: bool = True,
     rulebase=DEFAULT_RULEBASE,
     phase2_shuffle: str | None = "HASH_SHUFFLE",
+    store_salt: int = 1,
 ) -> dict:
     """Production path: two-phase, resumable (SURVEY.md §4).
+
+    ``store_salt > 1`` spreads each store bucket's resolve reduction
+    over that many reducers (skew valve for hot buckets; see
+    resolve_for_store).
 
     Phase 1 (expensive, page-scale, resumable per graph bucket): pages
     -> extracted -> deduped -> raw triples -> ``<out>/raw`` partitioned
@@ -202,7 +208,8 @@ def run_kg_pipeline(
                      concurrency, resume)
     t1 = time.perf_counter()
 
-    resolved, coref = _phase2_resolved(raw_dir, rulebase, num_buckets)
+    resolved, coref = _phase2_resolved(raw_dir, rulebase, num_buckets,
+                                       salt=store_salt)
     n_members, n_classes = coref["members"], coref["classes"]
     t2 = time.perf_counter()
 

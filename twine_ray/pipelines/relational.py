@@ -460,6 +460,67 @@ def q_events_window(sf_dir: str):
     return final.map_batches(_finish, batch_format="pandas")
 
 
+def q_hopping_windows(sf_dir: str, window_min: int = 60,
+                      hop_min: int = 15):
+    """HOPPING (overlapping) window counts/sums per event_type: 60-min
+    windows advancing every 15 min, so each event lands in exactly
+    ``window/hop`` windows.  The batch analog of a sliding streaming
+    window — each event is exploded to its windows inside map_batches
+    (vectorized tile/repeat), partially reduced per batch, then ONE
+    groupby merges partials.  Window starts computed in integer
+    MICROSECONDS on both sides (the DuckDB oracle uses epoch_us +
+    make_timestamp) so timestamps match bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    import numpy as np
+
+    k = window_min // hop_min
+    hop_us = hop_min * 60 * 1_000_000
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        slot = (ts_us // hop_us) * hop_us
+        starts = np.concatenate([slot - i * hop_us for i in range(k)])
+        out = pd.DataFrame(
+            {
+                "event_type": np.tile(df["event_type"].to_numpy(), k),
+                "window_start": starts,
+                "n": np.ones(n * k, dtype="int64"),
+                "value_u": np.tile(
+                    np.round(df["value"].to_numpy() * MICRO).astype("int64"),
+                    k,
+                ),
+            }
+        )
+        return out.groupby(["event_type", "window_start"],
+                           as_index=False).agg(
+            n_events=("n", "sum"), sum_value=("value_u", "sum")
+        )
+
+    parts = ev.map_batches(_partial, batch_format="pandas")
+    final = parts.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "window_start": pd.to_datetime(
+                    df["window_start"], unit="us"
+                ).astype("datetime64[us]"),
+                "n_events": df["n_events"].astype("int64"),
+                "sum_value": df["sum_value"] / MICRO,
+            }
+        )
+
+    return final.map_batches(_finish, batch_format="pandas")
+
+
 def q_latest_event_per_user(sf_dir: str):
     """Latest event per user (max ts, tie max event_id) — the generic
     latest-wins / graph-replace reduction, bucketed + vectorized."""

@@ -311,7 +311,7 @@ def strip_predicates(triples_ds, rulebase=DEFAULT_RULEBASE):
 
 
 def resolve_for_store(triples_ds, rulebase=DEFAULT_RULEBASE,
-                      num_buckets: int = 32):
+                      num_buckets: int = 32, salt: int = 1):
     """Fused production path: property resolution + dedup + store sort
     + partition bucketing in ONE shuffle.
 
@@ -322,6 +322,15 @@ def resolve_for_store(triples_ds, rulebase=DEFAULT_RULEBASE,
     two wide steps fewer than resolve_and_dedup + materialize.
     Output carries the bucket column; write with
     materialize_triples(..., prepared=True).
+
+    ``salt > 1`` splits each bucket's reduce across ``salt`` subgroups
+    keyed by a SECOND independent graph hash (same graph -> same salt,
+    so every (graph, subj, pred) key still reduces whole): a hot
+    bucket's work spreads over ``salt`` reducers and its partition dir
+    holds ``salt`` sorted runs instead of one (the writer may pack
+    several runs per file; readers treat each run as a sorted row
+    group).  The skew valve designed in docs/SCALE.md — default 1
+    keeps the one-sorted-file-per-bucket layout.
     """
     import pandas as pd
 
@@ -338,11 +347,29 @@ def resolve_for_store(triples_ds, rulebase=DEFAULT_RULEBASE,
     ds = triples_ds.map_batches(_partial, batch_format="pandas")
     ds = add_graph_bucket(ds, num_buckets)
 
+    SALT_COL = "__salt"
+    group_cols = [BUCKET_COL]
+    if salt > 1:
+        def _add_salt(df: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(
+                df["graph"], index=False, categorize=False
+            ).to_numpy()
+            # independent of bucket_of's hash: different mix constant
+            return df.assign(
+                **{SALT_COL: ((h * 0x9E3779B97F4A7C15) % salt)
+                   .astype("int32")}
+            )
+
+        ds = ds.map_batches(_add_salt, batch_format="pandas")
+        group_cols = [BUCKET_COL, SALT_COL]
+
     def _final(df: pd.DataFrame) -> pd.DataFrame:
         bucket = df[BUCKET_COL].iloc[0] if len(df) else None
-        out = _reduce_group(df.drop(columns=[BUCKET_COL]), single)
+        out = _reduce_group(
+            df.drop(columns=group_cols, errors="ignore"), single
+        )
         out = out.sort_values(["subj", "pred", "obj"], kind="mergesort")
         out[BUCKET_COL] = bucket
         return out
 
-    return ds.groupby(BUCKET_COL).map_groups(_final, batch_format="pandas")
+    return ds.groupby(group_cols).map_groups(_final, batch_format="pandas")
