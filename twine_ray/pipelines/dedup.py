@@ -32,6 +32,8 @@ from twine_ray.functions.fingerprint import (
     word_shingles,
 )
 
+
+from twine_ray.state.broadcast import pool
 NUM_PERM = 128
 BANDS = 32  # 32 bands x 4 rows: catches J >= ~0.5 reliably
 JACCARD_THRESHOLD = 0.8
@@ -277,7 +279,7 @@ def q_dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
     ds = _docs(sf_dir, ["doc_id", "text"])
     band_rows = ds.map_batches(
         _MinHashStage, batch_format="pandas", batch_size=512,
-        concurrency=(1, 2),
+        concurrency=pool(8),
     )
     pairs = _candidate_pairs(band_rows).materialize()
     n_pairs = pairs.count()

@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+
+from twine_ray.state.broadcast import pool
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -223,7 +225,7 @@ def q_media_features(sf_dir: str, n_media: int = 300):
     ds = synth_media_dataset(n_media)
     return ds.map_batches(
         MediaFeatures, batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 2),
+        concurrency=pool(8),
     )
 
 
@@ -232,5 +234,5 @@ def q_media_frames(sf_dir: str, n_media: int = 300):
     ds = synth_media_dataset(n_media)
     return ds.map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 2),
+        concurrency=pool(8),
     )

@@ -24,6 +24,8 @@ import pyarrow.compute as pc
 # (round(expr * 1e6) summed as int64, divided back at the end): integer
 # sums are order-independent, so Ray's partial+final aggregation hashes
 # identically to DuckDB's single-pass SUM regardless of reduction order.
+
+from twine_ray.state.broadcast import pool
 MICRO = 1_000_000
 
 
@@ -159,7 +161,7 @@ def q_join_broadcast(sf_dir: str):
             "cols": {"c_mktsegment": "c_mktsegment"},
         },
         batch_format="pandas",
-        concurrency=(1, 2),
+        concurrency=pool(8),
     )
 
     import numpy as np
@@ -369,7 +371,7 @@ def q_semi_join(sf_dir: str):
         _SemiFilter,
         fn_constructor_kwargs={"ref": key_ref},
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=pool(8),
     )
 
     return filtered
@@ -676,7 +678,7 @@ def q_anti_join(sf_dir: str):
         _AntiFilter,
         fn_constructor_kwargs={"ref": key_ref},
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=pool(8),
     )
 
 
@@ -767,7 +769,7 @@ def q_join_multi(sf_dir: str):
             "cols": {"r_name": "r_name"},
         },
         batch_format="pandas",
-        concurrency=(1, 2),
+        concurrency=pool(8),
     )
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -14,6 +14,8 @@ import heapq
 import numpy as np
 import pandas as pd
 
+
+from twine_ray.state.broadcast import pool
 ROUND = 6
 DEFAULT_K = 5
 N_QUERIES = 5  # vec_id < N_QUERIES are the query set
@@ -126,7 +128,7 @@ def q_ann_topk(sf_dir: str, k: int = DEFAULT_K):
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
         batch_format="pandas",
         batch_size=1024,
-        concurrency=(1, 2),
+        concurrency=pool(8),
     ).to_pandas()
     return _merge_topk(parts, k)
 
@@ -202,7 +204,7 @@ def q_ann_lsh(sf_dir: str, k: int = DEFAULT_K, n_tables: int = 8,
         },
         batch_format="pandas",
         batch_size=2048,
-        concurrency=(1, 2),
+        concurrency=pool(8),
     )
 
     queries_ref = broadcast(
@@ -213,7 +215,7 @@ def q_ann_lsh(sf_dir: str, k: int = DEFAULT_K, n_tables: int = 8,
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
         batch_format="pandas",
         batch_size=2048,
-        concurrency=(1, 2),
+        concurrency=pool(8),
     ).to_pandas()
     return _merge_topk(parts, k)
 
@@ -317,7 +319,7 @@ def q_ann_ivf(sf_dir: str, k: int = DEFAULT_K, n_lists: int = 16,
         fn_constructor_kwargs={"centroids_ref": cents_ref},
         batch_format="pandas",
         batch_size=2048,
-        concurrency=(1, 2),
+        concurrency=pool(8),
     )
 
     qdf = assigned.filter(expr=f"vec_id < {N_QUERIES}").to_pandas()
@@ -343,6 +345,6 @@ def q_ann_ivf(sf_dir: str, k: int = DEFAULT_K, n_lists: int = 16,
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
         batch_format="pandas",
         batch_size=2048,
-        concurrency=(1, 2),
+        concurrency=pool(8),
     ).to_pandas()
     return _merge_topk(parts, k)

@@ -15,6 +15,8 @@ from twine_ray.functions.langid import detect_lang
 from twine_ray.functions.quality import quality_features, quality_score
 from twine_ray.functions.textnorm import simple_tokens
 
+
+from twine_ray.state.broadcast import pool
 ROUND = 4
 
 
@@ -111,7 +113,7 @@ def q_doc_langid(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text", "lang"])
     return ds.map_batches(
         _LangIdStage, batch_format="pandas", batch_size=512,
-        concurrency=(1, 2),
+        concurrency=pool(8),
     )
 
 
