@@ -134,3 +134,28 @@ def test_dispatch_rdfxml(ray_session):
     assert counts["application/rdf+xml"] == 1
     assert list(df["obj"]) == ["val"]
     assert list(df["graph"]) == ["http://m/1"]
+
+
+def test_parsetype_literal():
+    doc = (b'<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/'
+           b'22-rdf-syntax-ns#" xmlns:ex="http://ex.org/">'
+           b'<rdf:Description rdf:about="http://e/s">'
+           b'<ex:html rdf:parseType="Literal">pre <b>bold</b> post'
+           b"</ex:html></rdf:Description></rdf:RDF>")
+    r = parse_rdfxml(doc)[0]
+    assert r["obj"] == "pre <b>bold</b> post"
+    assert r["obj_dt"].endswith("#XMLLiteral") and r["obj_is_lit"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=200))
+def test_rdfxml_total_no_foreign_exceptions(s):
+    """Fuzz: arbitrary input raises RdfXmlParseError or parses."""
+    try:
+        parse_rdfxml(s)
+    except RdfXmlParseError:
+        pass

@@ -183,3 +183,19 @@ def test_nquads_roundtrip_through_turtle_parser():
     line = triple_row_to_nquad(row)
     back = parse_turtle(line, "g")[0]
     assert back["subj"] == row["subj"] and back["obj"] == row["obj"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_parser_total_no_foreign_exceptions(s):
+    """Fuzz: arbitrary text either parses or raises TurtleParseError —
+    never IndexError/KeyError/RecursionError etc. (the log-and-skip
+    dispatch contract catches exactly TurtleParseError)."""
+    try:
+        parse_turtle(s)
+    except TurtleParseError:
+        pass

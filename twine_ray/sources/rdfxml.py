@@ -14,10 +14,13 @@ RDF/XML subset:
 - property ATTRIBUTES on node elements (the common abbreviation)
 - ``xml:base`` resolution for relative IRIs (about/resource/ID)
 
-``rdf:parseType="Literal"``/"Collection" and reification are not
-emitted (no fixtures in the conformance surface; raise for Literal,
-Collection expands like Turtle's ``(...)``).  Output rows use the
-engine triple schema; malformed XML raises ``RdfXmlParseError``.
+- ``rdf:parseType``: "Resource", "Collection" (expands like Turtle's
+  ``(...)``), and "Literal" (inner XML serialized verbatim as an
+  rdf:XMLLiteral-typed literal)
+
+Reification and rdf:li containers are not emitted (no fixtures in the
+conformance surface).  Output rows use the engine triple schema;
+malformed XML raises ``RdfXmlParseError``.
 """
 
 from __future__ import annotations
@@ -152,6 +155,15 @@ class _Parser:
                 else:
                     self.emit(node, RDF_REST, RDF_NIL, False)
             return
+        if parse_type == "Literal":
+            # XML literal: serialize the element's inner XML verbatim
+            # as an rdf:XMLLiteral-typed literal
+            inner = (el.text or "") + "".join(
+                ET.tostring(c, encoding="unicode") for c in children
+            )
+            self.emit(subj, pred, inner, True,
+                      RDF_NS + "XMLLiteral", "")
+            return
         if parse_type is not None:
             raise RdfXmlParseError(f"unsupported parseType {parse_type!r}")
         if resource is not None:
@@ -182,7 +194,10 @@ def parse_rdfxml(payload: bytes | str, default_graph: str = "") -> list[dict]:
     except ET.ParseError as ex:
         raise RdfXmlParseError(f"not well-formed XML: {ex}") from ex
     p = _Parser(default_graph)
-    p.parse(root, base="", lang="")
+    try:
+        p.parse(root, base="", lang="")
+    except RecursionError as ex:
+        raise RdfXmlParseError("nesting too deep") from ex
     return p.rows
 
 

@@ -373,7 +373,13 @@ class _Parser:
 
 def parse_turtle(text: str, default_graph: str = "") -> list[dict]:
     """Parse a Turtle (or TriG) document into triple-schema rows."""
-    return _Parser(text, default_graph).parse()
+    try:
+        return _Parser(text, default_graph).parse()
+    except RecursionError as ex:
+        # pathological nesting depth ([[[[...]]]]): surface it under
+        # the parser's own error type so dispatch's log-and-skip
+        # contract (catch TurtleParseError only) stays total
+        raise TurtleParseError("nesting too deep") from ex
 
 
 def read_turtle(paths, default_graph: str = ""):
