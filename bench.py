@@ -151,6 +151,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "doc_token_counts": text.q_doc_token_counts,
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash": dedup.q_dedup_minhash,
+        "dedup_jaccard": dedup.q_dedup_jaccard,
+        "hopping_windows": relational.q_hopping_windows,
         "ann_topk": similarity.q_ann_topk,
     }
     out = {}

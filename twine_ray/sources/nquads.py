@@ -129,6 +129,52 @@ def triple_row_to_nquad(row: dict) -> str:
     return f"{term(row['subj'])} <{row['pred']}> {obj}{g} ."
 
 
+def write_nquads(triples_ds, out_dir: str) -> dict:
+    """Distributed N-Quads sink (the export side of Twine's
+    ``twine_rdf_model_nquads`` — dumps a triples Dataset as ``.nq``
+    shard files, one per block, written BY THE TASKS (no driver
+    materialization; the pattern for a text-format sink Ray Data lacks
+    natively).  Shard names are content-addressed (hash of the block's
+    serialized bytes), so a retried task overwrites its own output
+    idempotently instead of duplicating it.  Returns {'rows': n,
+    'files': k}."""
+    import hashlib as _hl
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _dump(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        if not rows:
+            return pa.Table.from_pydict(
+                {"rows": pa.array([], type=pa.int64()),
+                 "file": pa.array([], type=pa.string())}
+            )
+        payload = "".join(
+            triple_row_to_nquad(r) + "\n" for r in rows
+        ).encode("utf-8")
+        name = _hl.blake2b(payload, digest_size=12).hexdigest()
+        path = os.path.join(out_dir, f"part-{name}.nq")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return pa.Table.from_pydict(
+            {"rows": pa.array([len(rows)], type=pa.int64()),
+             "file": pa.array([path], type=pa.string())}
+        )
+
+    manifest = triples_ds.map_batches(
+        _dump, batch_format="pyarrow"
+    ).take_all()
+    return {
+        "rows": sum(r["rows"] for r in manifest),
+        "files": len(manifest),
+    }
+
+
 def read_nquads(paths, default_graph: str = ""):
     """Bulk N-Quads load: text lines -> triples Dataset (S8).
 

@@ -382,6 +382,70 @@ def parse_turtle(text: str, default_graph: str = "") -> list[dict]:
         raise TurtleParseError("nesting too deep") from ex
 
 
+def triples_to_turtle(rows: list[dict], trig: bool = False) -> str:
+    """Serialize triple-schema rows to Turtle (or TriG with
+    ``trig=True``): full IRIs (no prefix table — always valid), one
+    subject block with ``;``-grouped predicates, deterministic order
+    (rows sorted by graph/subj/pred/obj).  Round-trips through
+    ``parse_turtle`` (property-tested); langs are emitted lowercase to
+    match the parser's normalization."""
+    from twine_ray.sources.nquads import _escape
+
+    def term(v: str) -> str:
+        return v if v.startswith("_:") else f"<{v}>"
+
+    def obj_term(r: dict) -> str:
+        if r["obj_is_lit"]:
+            s = f'"{_escape(r["obj"])}"'
+            if r.get("obj_dt"):
+                s += f"^^<{r['obj_dt']}>"
+            elif r.get("obj_lang"):
+                s += f"@{r['obj_lang'].lower()}"
+            return s
+        return term(r["obj"])
+
+    ordered = sorted(
+        rows, key=lambda r: (r.get("graph") or "", r["subj"], r["pred"],
+                             str(r["obj"])),
+    )
+    out: list[str] = []
+
+    def emit_graph(graph_rows: list[dict], indent: str) -> None:
+        i = 0
+        while i < len(graph_rows):
+            j = i
+            while (j < len(graph_rows)
+                   and graph_rows[j]["subj"] == graph_rows[i]["subj"]):
+                j += 1
+            subj = term(graph_rows[i]["subj"])
+            preds = [
+                f"{term(r['pred'])} {obj_term(r)}"
+                for r in graph_rows[i:j]
+            ]
+            body = f" ;\n{indent}    ".join(preds)
+            out.append(f"{indent}{subj} {body} .")
+            i = j
+
+    if not trig:
+        emit_graph(ordered, "")
+        return "\n".join(out) + ("\n" if out else "")
+
+    i = 0
+    while i < len(ordered):
+        g = ordered[i].get("graph") or ""
+        j = i
+        while j < len(ordered) and (ordered[j].get("graph") or "") == g:
+            j += 1
+        if g:
+            out.append(f"{term(g)} {{")
+            emit_graph(ordered[i:j], "  ")
+            out.append("}")
+        else:
+            emit_graph(ordered[i:j], "")
+        i = j
+    return "\n".join(out) + ("\n" if out else "")
+
+
 def read_turtle(paths, default_graph: str = ""):
     """Bulk Turtle/TriG load: one document per file (Turtle is not
     line-splittable — prefixes scope the whole document), parallelism
