@@ -119,3 +119,47 @@ def test_dispatch_routes_by_mime(ray_session):
     assert (df["graph"] == "http://g9").any()  # quad context respected
     titles = df[df["pred"] == DC_TITLE]
     assert list(titles["obj"]) == ["Page One"]
+
+
+def test_dispatch_wildcard_fallback(ray_session):
+    """`type/*` processors catch subtypes with no exact registration
+    (twine_plugin_locate order: exact first, then wildcard)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from twine_ray.pipelines import dispatch as dp
+    from twine_ray.stages.triples import TRIPLES_SCHEMA
+
+    def _wild(messages_ds, ctx):
+        def _f(batch: pa.Table) -> pa.Table:
+            rows = [
+                {"graph": uri, "subj": uri, "pred": "http://p/wild",
+                 "obj": (payload or b"").decode(), "obj_is_lit": True,
+                 "obj_dt": "", "obj_lang": "", "score": 0}
+                for uri, payload in zip(batch["uri"].to_pylist(),
+                                        batch["payload"].to_pylist())
+            ]
+            return pa.Table.from_pylist(rows, schema=TRIPLES_SCHEMA)
+
+        return messages_ds.map_batches(_f, batch_format="pyarrow")
+
+    dp.register_processor("application/*", _wild)
+    try:
+        msgs = [
+            {"uri": "http://m/1", "content_type": "application/x-custom",
+             "payload": b"wildcarded"},
+            # exact registration still wins over the wildcard
+            {"uri": "http://m/2", "content_type": "application/n-triples",
+             "payload": b'<http://a> <http://b> "exact" .'},
+        ]
+        ds = rd.from_arrow(
+            pa.Table.from_pylist(msgs, schema=dp.MESSAGES_SCHEMA)
+        )
+        triples, counts = dp.dispatch_messages(ds, {})
+        df = triples.to_pandas()
+        assert counts["application/x-custom"] == 1
+        assert "wildcarded" in set(df["obj"])
+        exact = df[df["pred"] == "http://b"]
+        assert list(exact["obj"]) == ["exact"]
+    finally:
+        dp.PROCESSORS.pop("application/*", None)

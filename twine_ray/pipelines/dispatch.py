@@ -161,7 +161,11 @@ def dispatch_messages(messages_ds, ctx: dict | None = None):
     routed = None
     counts: dict[str, int] = {}
     for mime in sorted(types):
+        # exact match, then the reference's `type/*` wildcard fallback
+        # (twine:libtwine/plugin.c::twine_plugin_locate order)
         fn = PROCESSORS.get(mime)
+        if fn is None and "/" in mime:
+            fn = PROCESSORS.get(mime.split("/", 1)[0] + "/*")
         if fn is None:
             counts[mime] = -1  # unroutable — dropped (logged by caller)
             continue
