@@ -178,3 +178,20 @@ def test_jaccard_empty_and_short_docs(ray_session, tmp_path):
     want = _brute_jaccard_pairs(pd.DataFrame(rows))
     pd.testing.assert_frame_equal(got, want)
     assert {(1, 2), (3, 4)} == set(zip(want["a"], want["b"]))
+
+
+def test_simhash_stage_matches_scalar_spec():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from twine_ray.functions.fingerprint import simhash64
+    from twine_ray.pipelines.dedup import _SimHashStage
+
+    stage = _SimHashStage()
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.text(max_size=120))
+    def check(text):
+        assert stage.signature(text) == simhash64(text)
+
+    check()

@@ -28,7 +28,6 @@ from twine_ray.functions.fingerprint import (
     lsh_band_keys,
     minhash_params,
     minhash_signature,
-    simhash64,
     word_shingles,
 )
 
@@ -361,16 +360,47 @@ def q_dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
 # ---------------------------------------------------------------------------
 
 
-def q_dedup_simhash(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
-    """Near-dup pairs via SimHash: band on 4x16-bit chunks (any pair
-    within Hamming distance <= 3 shares at least one exact chunk),
-    verify Hamming on candidates.  Returns (a, b, hamming)."""
-    ds = _docs(sf_dir, ["doc_id", "text"])
+class _SimHashStage:
+    """Per-actor SimHash with a token-hash cache: blake2b per DISTINCT
+    token instead of per occurrence (word-salad corpora repeat tokens
+    heavily), accumulating cached ±1 bit-rows.  Bit-identical to the
+    scalar spec ``functions.fingerprint.simhash64`` (tested)."""
 
-    def _sig(df: pd.DataFrame) -> pd.DataFrame:
+    def __init__(self, max_cache: int = 1_000_000) -> None:
+        self.cache: dict[str, np.ndarray] = {}
+        self.max_cache = max_cache
+
+    def _tok_row(self, tok: str) -> np.ndarray:
+        row = self.cache.get(tok)
+        if row is None:
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
+                "big",
+            )
+            row = np.unpackbits(
+                np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)
+            ).astype(np.int16) * 2 - 1
+            if len(self.cache) < self.max_cache:
+                self.cache[tok] = row
+        return row
+
+    def signature(self, text: str) -> int:
+        from twine_ray.functions.fingerprint import _WORD_RE
+
+        toks = _WORD_RE.findall(text.casefold())
+        if not toks:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            acc += self._tok_row(t)
+        return int.from_bytes(
+            np.packbits((acc > 0).astype(np.uint8)).tobytes(), "big"
+        )
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         rows = {"doc_id": [], "band_key": [], "sig": []}
         for doc_id, text in zip(df["doc_id"], df["text"]):
-            h = simhash64(text or "")
+            h = self.signature(text or "")
             # two's-complement int64 so the column dtype is stable
             # across batches (raw uint64 values can exceed int64)
             h_i64 = h - (1 << 64) if h >= (1 << 63) else h
@@ -381,7 +411,17 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
                 rows["sig"].append(h_i64)
         return pd.DataFrame(rows)
 
-    band_rows = ds.map_batches(_sig, batch_format="pandas", batch_size=512)
+
+def q_dedup_simhash(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
+    """Near-dup pairs via SimHash: band on 4x16-bit chunks (any pair
+    within Hamming distance <= 3 shares at least one exact chunk),
+    verify Hamming on candidates.  Returns (a, b, hamming)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    band_rows = ds.map_batches(
+        _SimHashStage, batch_format="pandas", batch_size=512,
+        concurrency=pool(8),
+    )
 
     from twine_ray.stages.grouped import bucketed_group_reduce
 
