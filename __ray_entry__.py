@@ -366,6 +366,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard": """
             -- exact 3-word-shingle Jaccard >= 0.5 within source blocks;
+            -- lower() + ASCII [a-zA-Z0-9_]+ matches the pipeline's
+            -- word_shingles_ascii EXACTLY (parity holds on non-ASCII
+            -- corpora too — ADVICE r2);
             -- FLOOR(j*1e4+0.5)/1e4 mirrors twine_ray's _round4 so the
             -- doubles match bit-for-bit (builtin round() is half-even).
             WITH t AS (

@@ -20,6 +20,7 @@ from twine_ray.functions.fingerprint import (
     minhash_params,
     minhash_signature,
     word_shingles,
+    word_shingles_ascii,
 )
 from twine_ray.pipelines.dedup import (
     BANDS,
@@ -67,10 +68,11 @@ def _brute_minhash_clusters(docs: pd.DataFrame,
 
 
 def _brute_jaccard_pairs(docs: pd.DataFrame, threshold: float = 0.5):
+    # ASCII shingles: the oracled pipeline's spec (DuckDB-\w parity)
     out = {"a": [], "b": [], "jaccard": []}
     for _, g in docs.groupby("source"):
         recs = sorted(zip(g["doc_id"].tolist(), g["text"].tolist()))
-        sh = {i: word_shingles(t or "") for i, t in recs}
+        sh = {i: word_shingles_ascii(t or "") for i, t in recs}
         ids = [i for i, _ in recs]
         for x in range(len(ids)):
             for y in range(x + 1, len(ids)):
@@ -178,6 +180,33 @@ def test_jaccard_empty_and_short_docs(ray_session, tmp_path):
     want = _brute_jaccard_pairs(pd.DataFrame(rows))
     pd.testing.assert_frame_equal(got, want)
     assert {(1, 2), (3, 4)} == set(zip(want["a"], want["b"]))
+
+
+def test_jaccard_non_ascii_corpus(ray_session, tmp_path):
+    """'café' tokenizes as 'caf' on BOTH the pipeline and the brute
+    spec (ASCII-\\w, matching DuckDB RE2) — the ADVICE r2 parity
+    hazard: a non-ASCII corpus must not diverge from the oracle."""
+    t1 = "café straße naïve café straße encore café and more words here"
+    t2 = "café straße naïve café straße encore café and more words there"
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": [t1, t2, "unrelated words entirely different content now"],
+        "source": ["s", "s", "s"],
+    }
+    pq.write_table(pa.Table.from_pydict(rows),
+                   str(tmp_path / "documents.parquet"))
+    got = (
+        q_dedup_jaccard(str(tmp_path))
+        .to_pandas()[["a", "b", "jaccard"]]
+        .astype({"a": "int64", "b": "int64"})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = _brute_jaccard_pairs(pd.DataFrame(rows))
+    pd.testing.assert_frame_equal(got, want)
+    assert set(zip(want["a"], want["b"])) == {(1, 2)}
+    # and the ASCII spec really differs from the Unicode tokenizer here
+    assert word_shingles_ascii(t1) != word_shingles(t1)
 
 
 def test_simhash_stage_matches_scalar_spec():

@@ -134,3 +134,34 @@ def test_read_url_doc_dump(ray_session, tmp_path):
     df = read_url_doc_dump(str(p)).to_pandas()
     assert list(df["url"]) == ["http://ex.org/1", "http://ex.org/2"]
     assert list(df["doc"]) == ["<doc one/>", "<doc two/>"]
+
+
+def test_write_nquads_identical_blocks_no_collision(ray_session, tmp_path):
+    """Two DISTINCT blocks with byte-identical payload must produce two
+    shard files (content-only naming silently lost rows — ADVICE r2);
+    the driver-committed _MANIFEST.json lists exactly the live shards."""
+    import glob
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from twine_ray.sources.nquads import read_nquads, write_nquads
+    from twine_ray.stages.triples import TRIPLES_SCHEMA
+
+    row = {"graph": "http://g", "subj": "http://s", "pred": "http://p",
+           "obj": "http://o", "obj_is_lit": False, "obj_dt": "",
+           "obj_lang": "", "score": 0}
+    ds = rd.from_arrow(
+        pa.Table.from_pylist([row] * 4, schema=TRIPLES_SCHEMA)
+    ).repartition(2)
+    out = str(tmp_path / "nq")
+    res = write_nquads(ds, out)
+    assert res["rows"] == 4
+    files = sorted(glob.glob(f"{out}/part-*.nq"))
+    assert len(files) == res["files"] >= 2
+    back = read_nquads(files).to_pandas()
+    assert len(back) == 4
+    man = json.load(open(res["manifest"]))
+    assert man["rows"] == 4
+    assert sorted(man["files"]) == [f.split("/")[-1] for f in files]

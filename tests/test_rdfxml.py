@@ -159,3 +159,26 @@ def test_rdfxml_total_no_foreign_exceptions(s):
         parse_rdfxml(s)
     except RdfXmlParseError:
         pass
+
+
+def test_rdf_type_property_attribute():
+    """An rdf:type property ATTRIBUTE takes a resource value and must
+    emit a type triple (previously silently dropped — ADVICE r2)."""
+    doc = (b'<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/'
+           b'22-rdf-syntax-ns#" xmlns:ex="http://ex.org/">'
+           b'<rdf:Description rdf:about="http://e/s"'
+           b' rdf:type="http://ex.org/Thing" ex:name="n"/></rdf:RDF>')
+    rows = parse_rdfxml(doc)
+    types = [r for r in rows if r["pred"].endswith("#type")]
+    assert len(types) == 1
+    assert types[0]["obj"] == "http://ex.org/Thing"
+    assert not types[0]["obj_is_lit"]
+    # other rdf-namespace property attributes now raise, not skip
+    import pytest
+
+    bad = (b'<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/'
+           b'22-rdf-syntax-ns#">'
+           b'<rdf:Description rdf:about="http://e/s" rdf:value="v"/>'
+           b'</rdf:RDF>')
+    with pytest.raises(RdfXmlParseError):
+        parse_rdfxml(bad)

@@ -293,3 +293,42 @@ def test_write_nquads_roundtrip(ray_session, tmp_path):
     back = read_nquads(sorted(glob.glob(f"{out}/part-*.nq"))).to_pandas()
     got = sorted(map(_key, back.to_dict("records")))
     assert got == sorted(map(_key, rows))
+
+
+def test_standalone_bnode_property_list_statement():
+    """W3C grammar: `[ :p :o ] .` is a complete statement — the
+    predicateObjectList after a blankNodePropertyList subject is
+    optional (ADVICE r2)."""
+    rows = parse_turtle('@prefix : <http://e/> . [ :p :o ] .')
+    assert len(rows) == 1
+    assert rows[0]["pred"] == "http://e/p" and rows[0]["obj"] == "http://e/o"
+    assert rows[0]["subj"].startswith("_:")
+    # inside a TriG block too (dot optional before })
+    rows = parse_turtle('@prefix : <http://e/> . <http://g> { [ :p :o ] }')
+    assert len(rows) == 1 and rows[0]["graph"] == "http://g"
+    # ... but a bare bnode LABEL subject still requires predicates
+    import pytest
+
+    with pytest.raises(TurtleParseError):
+        parse_turtle('_:b .')
+
+
+def test_double_with_empty_fraction():
+    """`1.e0` is a valid Turtle DOUBLE (empty fraction before the
+    exponent) — must lex as one number, not `1` `.` `e0` (ADVICE r2)."""
+    rows = parse_turtle('<http://s> <http://p> 1.e0 .')
+    assert rows[0]["obj"] == "1.e0"
+    assert rows[0]["obj_dt"].endswith("#double")
+    rows = parse_turtle('<http://s> <http://p> -2.5E-3 .')
+    assert rows[0]["obj_dt"].endswith("#double")
+    # `1.` still lexes as integer 1 followed by the statement dot
+    rows = parse_turtle('<http://s> <http://p> 1. ')
+    assert rows[0]["obj"] == "1" and rows[0]["obj_dt"].endswith("#integer")
+
+
+def test_iriref_uchar_escapes():
+    """IRIREF may contain \\uXXXX / \\UXXXXXXXX escapes (UCHAR) —
+    previously failed to lex at all (ADVICE r2)."""
+    rows = parse_turtle('<http://s/\\u00e9> <http://p> <http://o/\\U0001F600> .')
+    assert rows[0]["subj"] == "http://s/é"
+    assert rows[0]["obj"] == "http://o/\U0001F600"

@@ -18,6 +18,7 @@ import re
 import numpy as np
 
 _WORD_RE = re.compile(r"[\w]+", re.UNICODE)
+_WORD_RE_ASCII = re.compile(r"[\w]+", re.ASCII)
 
 # Mersenne prime 2^31-1: keeps every product in (a * x + b) below 2^62,
 # safely inside uint64 — no silent numpy overflow.
@@ -29,6 +30,17 @@ _MAXH = (1 << 32) - 1
 def word_shingles(text: str, k: int = 3) -> set[str]:
     """Set of k-word shingles of the casefolded token stream."""
     toks = _WORD_RE.findall(text.casefold())
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def word_shingles_ascii(text: str, k: int = 3) -> set[str]:
+    """ASCII-\\w twin of ``word_shingles`` (lower() + ASCII word class),
+    matching DuckDB/RE2 semantics exactly — used by the ORACLE-CHECKED
+    ``dedup_jaccard`` so parity does not depend on the corpus being
+    ASCII ('café' → Python-\\w ['café'] vs DuckDB ['caf']; ADVICE r2)."""
+    toks = _WORD_RE_ASCII.findall(text.lower())
     if len(toks) < k:
         return {" ".join(toks)} if toks else set()
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}

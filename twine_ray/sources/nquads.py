@@ -134,16 +134,26 @@ def write_nquads(triples_ds, out_dir: str) -> dict:
     ``twine_rdf_model_nquads`` — dumps a triples Dataset as ``.nq``
     shard files, one per block, written BY THE TASKS (no driver
     materialization; the pattern for a text-format sink Ray Data lacks
-    natively).  Shard names are content-addressed (hash of the block's
-    serialized bytes), so a retried task overwrites its own output
-    idempotently instead of duplicating it.  Returns {'rows': n,
-    'files': k}."""
+    natively).  Shard names combine a content hash with a
+    task-id + per-task ordinal disambiguator: two DISTINCT blocks with
+    identical payload no longer collapse to one file (they land in
+    different tasks / ordinals), while a task retried by Ray re-runs
+    with a new task id, so any partial output of the failed attempt is
+    an orphan NOT listed in the committed ``_MANIFEST.json`` — the
+    manifest (written once by the driver after all tasks succeed) is
+    the commit record, mirroring the job-commit protocol of
+    distributed file sinks.  Returns {'rows': n, 'files': k,
+    'manifest': path}."""
     import hashlib as _hl
+    import itertools
+    import json
     import os
 
     import pyarrow as pa
+    import ray
 
     os.makedirs(out_dir, exist_ok=True)
+    _ordinal = itertools.count()  # per-worker-process batch ordinal
 
     def _dump(batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
@@ -155,7 +165,15 @@ def write_nquads(triples_ds, out_dir: str) -> dict:
         payload = "".join(
             triple_row_to_nquad(r) + "\n" for r in rows
         ).encode("utf-8")
-        name = _hl.blake2b(payload, digest_size=12).hexdigest()
+        try:
+            tid = ray.get_runtime_context().get_task_id() or ""
+        except Exception:
+            tid = ""
+        salt = f"{tid}:{next(_ordinal)}".encode()
+        name = (
+            _hl.blake2b(payload, digest_size=10).hexdigest()
+            + "-" + _hl.blake2b(salt, digest_size=4).hexdigest()
+        )
         path = os.path.join(out_dir, f"part-{name}.nq")
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -169,9 +187,17 @@ def write_nquads(triples_ds, out_dir: str) -> dict:
     manifest = triples_ds.map_batches(
         _dump, batch_format="pyarrow"
     ).take_all()
+    files = sorted(r["file"] for r in manifest)
+    man_path = os.path.join(out_dir, "_MANIFEST.json")
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"files": [os.path.basename(p) for p in files],
+                   "rows": sum(r["rows"] for r in manifest)}, f)
+    os.replace(tmp, man_path)
     return {
         "rows": sum(r["rows"] for r in manifest),
         "files": len(manifest),
+        "manifest": man_path,
     }
 
 

@@ -114,8 +114,16 @@ class _Parser:
             if attr in _SYNTAX_ATTRS or not attr.startswith("{"):
                 continue
             pred = _expand_tag(attr)
-            if pred.startswith(RDF_NS):
+            if pred == RDF_TYPE:
+                # W3C: an rdf:type property ATTRIBUTE takes a resource
+                # value — emit a type triple, not a literal
+                obj = urljoin(base, val) if base else val
+                self.emit(subj, RDF_TYPE, obj, False)
                 continue
+            if pred.startswith(RDF_NS):
+                raise RdfXmlParseError(
+                    f"unsupported rdf-namespace property attribute {pred!r}"
+                )
             self.emit(subj, pred, val, True, "", lang)
         for prop in el:
             self.property_element(subj, prop, base, lang)

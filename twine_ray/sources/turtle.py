@@ -50,7 +50,7 @@ _PN_LOCAL = r"(?:[A-Za-z0-9._:%-]*[A-Za-z0-9_:%-])?"
 _TOKEN_RE = re.compile(
     rf"""
     (?P<ws>\s+|\#[^\n]*)
-  | (?P<iriref><[^<>"{{}}|^`\\\x00-\x20]*>)
+  | (?P<iriref><(?:[^<>"{{}}|^`\\\x00-\x20]|\\u[0-9a-fA-F]{{4}}|\\U[0-9a-fA-F]{{8}})*>)
   | (?P<long_dq>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\")
   | (?P<long_sq>'''(?:[^'\\]|\\.|'(?!''))*''')
   | (?P<string_dq>"(?:[^"\\\n\r]|\\.)*")
@@ -60,7 +60,7 @@ _TOKEN_RE = re.compile(
   | (?P<dtype>\^\^)
   | (?P<bnode>_:[A-Za-z0-9](?:[A-Za-z0-9._-]*[A-Za-z0-9_-])?)
   | (?P<pname>[A-Za-z][A-Za-z0-9._-]*?:{_PN_LOCAL}|:{_PN_LOCAL})
-  | (?P<number>[+-]?(?:\d*\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?))
+  | (?P<number>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\d*\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?))
   | (?P<keyword>a\b|(?i:PREFIX|BASE|GRAPH)\b|true\b|false\b)
   | (?P<word>[A-Za-z][A-Za-z0-9._-]*)
   | (?P<punct>[.;,\[\]()\{{\}}])
@@ -229,7 +229,19 @@ class _Parser:
             self.expect_punct(".")
 
     def _triples_stmt(self, graph: str, in_block: bool = False) -> None:
+        kind, val = self.peek()
+        from_bnpl = kind == "punct" and val == "["
         subj = self._subject(graph)
+        kind, val = self.peek()
+        if from_bnpl and kind == "punct" and val in (".", "}"):
+            # W3C grammar: the predicateObjectList after a
+            # blankNodePropertyList subject is OPTIONAL —
+            # `[ :p :o ] .` is a complete statement.
+            if val == ".":
+                self.next()
+            elif not in_block:
+                raise TurtleParseError(f"expected '.', got {val!r}")
+            return
         self._predicate_object_list(subj, graph)
         kind, val = self.peek()
         if kind == "punct" and val == ".":
