@@ -169,3 +169,42 @@ def test_sparse_dedup_equals_full_shuffle(ray_session, alias_rows):
     a = set(map(tuple, full[cols].itertuples(index=False, name=None)))
     b = set(map(tuple, sparse[cols].itertuples(index=False, name=None)))
     assert a == b
+
+
+def test_dup_broadcast_valve_forces_full_shuffle(ray_session, monkeypatch):
+    """VERDICT r2 #1: when the duplicated-url set exceeds
+    DUP_BROADCAST_LIMIT, extract_with_graph_replace must auto-route to
+    the full-shuffle latest-wins path (no driver collect) and produce
+    the SAME output as the broadcast path."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from twine_ray.stages import extract as ex
+
+    rows, _ = synth_pages(24, seed=7, n_entities=N_ENT)
+    extra = []
+    for i, r in enumerate(rows[:24:2]):
+        clone = dict(rows[(i * 5 + 1) % 24])
+        clone["url"] = r["url"]
+        clone["warc_ts"] = r["warc_ts"] + dt.timedelta(days=3 + i)
+        extra.append(clone)
+    corpus = rows + extra
+
+    broadcast = ex.extract_with_graph_replace(
+        rd.from_arrow(pages_table(corpus))
+    ).to_pandas()
+
+    # force the valve: any dup set now exceeds the "broadcast bound"
+    monkeypatch.setattr(ex, "DUP_BROADCAST_LIMIT", 0)
+    assert ex.duplicate_url_hashes(
+        rd.from_arrow(pages_table(corpus))
+    ) is None
+    routed = ex.extract_with_graph_replace(
+        rd.from_arrow(pages_table(corpus))
+    ).to_pandas()
+
+    cols = ["url", "warc_ts", "text", "title", "lang"]
+    a = set(map(tuple, broadcast[cols].itertuples(index=False, name=None)))
+    b = set(map(tuple, routed[cols].itertuples(index=False, name=None)))
+    assert a == b and len(routed) == len(broadcast)
