@@ -16,8 +16,12 @@ driver's rows-only check is backed by deeper verification in tests/:
 
 - kg_flagship / kg_extract / kg_mentions: P/R = 1.0 gate against the
   deterministic world truth + byte-identical extraction at two
-  parallelism levels (tests/test_kg_e2e.py); the SQL-expressible slice
-  of the same path IS oracled as ``kg_extract_meta``.
+  parallelism levels (tests/test_kg_e2e.py); the SQL-expressible slices
+  of the same path ARE oracled as ``kg_extract_meta`` (extraction
+  prefix) and ``kg_triples_meta`` (resolved-store metadata triples).
+- kg_index: entity rows depend on the RNG alias world (not
+  SQL-expressible); distributed==driver-spec equality + world checks in
+  tests/test_index.py; the page slice IS oracled as ``kg_index_pages``.
 - dedup_minhash: distributed pipeline equals the driver-side LSH spec
   and a brute-force reference on a 50%-dup corpus (tests/test_dedup.py).
 - dedup_simhash: signature needs per-token blake2b (no such function
@@ -86,6 +90,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         extracted = extract_text(pages_from_documents(sf_dir))
         return detect_mentions(extracted, default_alias_rows())
 
+    def kg_triples_meta(sf_dir: str):
+        """SQL-oracled slice of the FLAGSHIP OUTPUT (VERDICT r2 #3):
+        the metadata triples (dc:title/language/modified per graph) are
+        pure functions of the documents row, so a green row here
+        hash-checks the resolved store itself — extraction, triple
+        emission, canon rewrite pass-through and property resolution —
+        not just the extraction prefix."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from twine_ray.state.rulebase import (
+            DC_LANGUAGE,
+            DC_MODIFIED,
+            DC_TITLE,
+        )
+
+        preds = pa.array([DC_TITLE, DC_LANGUAGE, DC_MODIFIED],
+                         type=pa.string())
+        ds = kg_triples_dataset(
+            pages_from_documents(sf_dir), default_alias_rows()
+        )
+        return ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["pred"], value_set=preds)),
+            batch_format="pyarrow",
+        )
+
+    def kg_index(sf_dir: str):
+        """Spindle-style per-proxy index over the resolved store
+        (VERDICT r2 #2): label, language, member count, mention/assoc
+        degrees per proxy.  Entity rows depend on the RNG world, so the
+        full index is pytest-gated (tests/test_index.py spec equality);
+        the page slice is SQL-oracled as kg_index_pages."""
+        from twine_ray.stages.index import proxy_index
+
+        return proxy_index(
+            kg_triples_dataset(
+                pages_from_documents(sf_dir), default_alias_rows()
+            )
+        )
+
+    def kg_index_pages(sf_dir: str):
+        """SQL-oracled page slice of the proxy index."""
+        import pyarrow.compute as pc
+
+        return kg_index(sf_dir).map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], "page")).select(
+                ["subj", "label", "label_lang", "lang", "modified",
+                 "score_max"]
+            ),
+            batch_format="pyarrow",
+        )
+
     return {
         # --- relational operator coverage (SURVEY.md §2, FIXTURES.md T5)
         "filter_project": relational.q_filter_project,
@@ -133,6 +189,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_extract": kg_extract,
         "kg_extract_meta": kg_extract_meta,
         "kg_mentions": kg_mentions,
+        "kg_triples_meta": kg_triples_meta,
+        "kg_index": kg_index,
+        "kg_index_pages": kg_index_pages,
         # --- multimodal plumbing (decode kernel is a declared sandbox
         # stand-in; schema/batching/actor plumbing is real — rows-only)
         "media_features": multimodal.q_media_features,
@@ -416,6 +475,76 @@ def oracle_sql() -> dict[str, str]:
                              || ' (' || source || ')' END AS title,
                    COALESCE(lang, '') AS lang
             FROM documents
+        """,
+        "kg_triples_meta": """
+            -- the metadata slice of the RESOLVED STORE: dc:title /
+            -- dc:language / dc:modified triples per page graph, each a
+            -- pure function of the documents row (url/title as in
+            -- kg_extract_meta; warc_ts = 2024-06-01 + (doc_id*271)%1e7
+            -- seconds per sources/pages.py::build_doc_page, ISO with
+            -- 'T').  Variant doc_id%4==3 emits no <title> -> no title
+            -- triple; empty lang -> no language triple.
+            WITH d AS (
+                SELECT doc_id,
+                       'http://' || COALESCE(NULLIF(source, ''), 'docs')
+                           || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                           AS url,
+                       CASE WHEN doc_id % 4 = 3 THEN ''
+                            ELSE 'Document ' || CAST(doc_id AS VARCHAR)
+                                 || ' (' || source || ')' END AS title,
+                       COALESCE(lang, '') AS lang,
+                       strftime(TIMESTAMP '2024-06-01 00:00:00'
+                                + ((doc_id * 271) % 10000000)
+                                  * INTERVAL 1 SECOND,
+                                '%Y-%m-%dT%H:%M:%S') AS ts_iso
+                FROM documents
+            )
+            SELECT url AS graph, url AS subj,
+                   'http://purl.org/dc/terms/title' AS pred,
+                   title AS obj, TRUE AS obj_is_lit, '' AS obj_dt,
+                   lang AS obj_lang, CAST(30 AS INTEGER) AS score
+            FROM d WHERE title <> ''
+            UNION ALL
+            SELECT url, url, 'http://purl.org/dc/terms/language',
+                   lang, TRUE, '', '', CAST(20 AS INTEGER)
+            FROM d WHERE lang <> ''
+            UNION ALL
+            SELECT url, url, 'http://purl.org/dc/terms/modified',
+                   ts_iso, TRUE,
+                   'http://www.w3.org/2001/XMLSchema#dateTime', '',
+                   CAST(20 AS INTEGER)
+            FROM d
+        """,
+        "kg_index_pages": """
+            -- page slice of the spindle-style proxy index: winning
+            -- label (dc:title, score 30) with its language, resolved
+            -- dc:language, dc:modified ISO, and the max rulebase score
+            -- over outgoing triples (30 unless the no-title variant
+            -- doc_id%4==3, whose best remaining predicate scores 20).
+            WITH d AS (
+                SELECT doc_id,
+                       'http://' || COALESCE(NULLIF(source, ''), 'docs')
+                           || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                           AS url,
+                       CASE WHEN doc_id % 4 = 3 THEN ''
+                            ELSE 'Document ' || CAST(doc_id AS VARCHAR)
+                                 || ' (' || source || ')' END AS title,
+                       COALESCE(lang, '') AS lang,
+                       strftime(TIMESTAMP '2024-06-01 00:00:00'
+                                + ((doc_id * 271) % 10000000)
+                                  * INTERVAL 1 SECOND,
+                                '%Y-%m-%dT%H:%M:%S') AS ts_iso
+                FROM documents
+            )
+            SELECT url AS subj,
+                   title AS label,
+                   CASE WHEN title = '' THEN '' ELSE lang END
+                       AS label_lang,
+                   lang,
+                   ts_iso AS modified,
+                   CAST(CASE WHEN doc_id % 4 = 3 THEN 20 ELSE 30 END
+                        AS BIGINT) AS score_max
+            FROM d
         """,
         "ann_topk": """
             WITH q AS (
