@@ -193,6 +193,98 @@ def pages_from_documents(sf_dir: str, seed: int = W.WORLD_SEED,
     )
 
 
+# ---------------------------------------------------------------------------
+# Co-partitioned pages layout (VERDICT r2 #6 — file-level pruning)
+# ---------------------------------------------------------------------------
+
+PAGE_BUCKET_COL = "page_bucket"
+
+
+def write_pages_partitioned(pages_ds, out_dir: str,
+                            num_buckets: int = 32) -> None:
+    """Write a pages corpus partitioned by the SAME graph-bucket key
+    the triple store uses (``bucket_of(normalize_url(url))``), one
+    directory per bucket.  An incremental run over this layout skips
+    unchanged buckets at the parquet READ — their bytes never leave
+    disk (previously the whole corpus was scanned and filtered
+    post-read; docs/SCALE.md noted the gap)."""
+    from twine_ray.functions.ids import bucket_of
+    from twine_ray.functions.urls import normalize_url
+
+    def _add(batch: pa.Table) -> pa.Table:
+        b = pa.array(
+            [bucket_of(normalize_url(u), num_buckets)
+             for u in batch["url"].to_pylist()],
+            type=pa.int32(),
+        )
+        return batch.append_column(PAGE_BUCKET_COL, b)
+
+    pages_ds.map_batches(_add, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=[PAGE_BUCKET_COL]
+    )
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_PAGES_META.json"), "w") as f:
+        json.dump({"num_buckets": num_buckets,
+                   "scheme": "graph-bucket-v1"}, f)
+
+
+def read_pages_partitioned(out_dir: str, skip_buckets=()):
+    """Pruned read of a ``write_pages_partitioned`` layout: only
+    partition directories NOT in ``skip_buckets`` are handed to
+    ``read_parquet``."""
+    import os
+
+    import ray.data as rd
+
+    skip = {int(b) for b in skip_buckets}
+    paths = []
+    for name in sorted(os.listdir(out_dir)):
+        if name.startswith(f"{PAGE_BUCKET_COL}="):
+            b = int(name.split("=", 1)[1])
+            if b not in skip:
+                part_dir = os.path.join(out_dir, name)
+                # expand to files: Ray's read_parquet takes a single
+                # directory OR a list of FILES, not a list of dirs
+                paths.extend(
+                    os.path.join(part_dir, f)
+                    for f in sorted(os.listdir(part_dir))
+                    if f.endswith(".parquet")
+                )
+    if not paths:
+        return rd.from_arrow(pa.Table.from_pylist([], schema=PAGES_SCHEMA))
+    ds = rd.read_parquet(paths)
+
+    def _strip(t: pa.Table) -> pa.Table:
+        if PAGE_BUCKET_COL in t.schema.names:
+            t = t.drop_columns([PAGE_BUCKET_COL])
+        return t.select(PAGES_SCHEMA.names).cast(PAGES_SCHEMA)
+
+    return ds.map_batches(_strip, batch_format="pyarrow")
+
+
+def partitioned_pages_source(out_dir: str):
+    """Factory form consumed by the KG pipeline's phase 1: called with
+    the set of already-done graph buckets, returns the pruned Dataset.
+    Valid because the layout's partition key IS the pipeline's graph
+    bucket (same normalize + hash), so pruning a partition is exactly
+    the resume filter.  Carries ``num_buckets`` from the layout meta so
+    the pipeline can refuse a bucketing mismatch (stale partition keys
+    would silently skip the wrong pages)."""
+    import json
+    import os
+
+    def _src(done_buckets):
+        return read_pages_partitioned(out_dir, skip_buckets=done_buckets)
+
+    meta_path = os.path.join(out_dir, "_PAGES_META.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            _src.num_buckets = int(json.load(f)["num_buckets"])
+    return _src
+
+
 def alias_dict_table(seed: int = W.WORLD_SEED, n_entities: int = 200) -> pa.Table:
     """FIXTURES.md T2 alias dictionary as an Arrow table."""
     world = W.make_world(n_entities=n_entities, seed=seed)

@@ -40,6 +40,7 @@ def materialize_triples(
     num_buckets: int = 32,
     sort_within: bool = True,
     prepared: bool = False,
+    signatures: bool = False,
 ) -> dict:
     """Write the triple store; returns {'rows': n, 'buckets': [...]}.
 
@@ -138,9 +139,109 @@ def materialize_triples(
                 "bytes": part_bytes,
             }
     new_buckets = [b for b in buckets if b not in already]
-    write_lineage(out_dir, [lineage[b] for b in new_buckets])
+    if signatures:
+        # write-time content signatures (VERDICT r2 #4): one
+        # distributed scan of the just-written (hot) store folds the
+        # two-salt per-bucket signature into lineage, so incremental
+        # runs read old-store signatures from _LINEAGE for free instead
+        # of re-scanning the store
+        sigs = signature_scan(out_dir)
+        for b, (s1, s2, _n) in sigs.items():
+            if b in lineage:
+                lineage[b]["sig1"] = int(s1)
+                lineage[b]["sig2"] = int(s2)
+        # already-done buckets from a resumed write get healed too
+        write_lineage(out_dir, [lineage[b] for b in buckets])
+    else:
+        write_lineage(out_dir, [lineage[b] for b in new_buckets])
     ckpt.mark_done(out_dir, new_buckets)
     return {"rows": n_rows, "buckets": sorted(buckets)}
+
+
+_SIG_COLS = ["graph", "subj", "pred", "obj", "obj_is_lit", "obj_dt",
+             "obj_lang", "score"]
+
+
+def _sig_of_frame(df: pd.DataFrame) -> tuple[int, int, int]:
+    """Order-independent content signature of one bucket's rows: two
+    independently-mixed row-hash sums + row count."""
+    import numpy as np
+
+    h = np.zeros(len(df), dtype=np.uint64)
+    for c in _SIG_COLS:
+        hc = pd.util.hash_pandas_object(
+            df[c], index=False, categorize=False
+        ).to_numpy().astype(np.uint64)
+        h = h * np.uint64(1099511628211) + hc
+    s1 = int((h % (1 << 31)).sum())
+    s2 = int(((h * np.uint64(0x9E3779B97F4A7C15)) % (1 << 31)).sum())
+    return s1, s2, len(df)
+
+
+def signature_scan(store_dir: str) -> dict[int, tuple]:
+    """Per-bucket content signatures, one PARALLEL TASK per bucket
+    partition (local read of that bucket's files + vectorized hash —
+    no shuffle, no aggregate exchange; the result is num_buckets rows).
+    Replaced a Dataset groupby-aggregate formulation whose exchange
+    machinery cost ~3-5 s at the 100k bench for a 32-row answer."""
+    import os
+
+    import ray.data as rd
+
+    dd = ckpt.data_dir(store_dir)
+    items = []
+    if os.path.isdir(dd):
+        for name in sorted(os.listdir(dd)):
+            if name.startswith(f"{BUCKET_COL}="):
+                items.append(
+                    {"b": int(name.split("=", 1)[1]),
+                     "dir": os.path.join(dd, name)}
+                )
+    if not items:
+        return {}
+
+    def _one(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        out = {"b": [], "s1": [], "s2": [], "n": []}
+        for b, d in zip(batch["b"], batch["dir"]):
+            df = pq.read_table(d, columns=_SIG_COLS).to_pandas()
+            s1, s2, n = _sig_of_frame(df)
+            out["b"].append(int(b))
+            out["s1"].append(s1)
+            out["s2"].append(s2)
+            out["n"].append(n)
+        return pd.DataFrame(out)
+
+    rows = (
+        rd.from_items(items, override_num_blocks=len(items))
+        .map_batches(_one, batch_format="pandas", batch_size=1)
+        .take_all()
+    )
+    return {int(r["b"]): (r["s1"], r["s2"], r["n"]) for r in rows}
+
+
+def bucket_signatures_cached(store_dir: str) -> dict[int, tuple]:
+    """Per-bucket signatures from ``_LINEAGE`` when present (free —
+    written at materialize time with ``signatures=True``); stores
+    written before that carry no sigs, so ONE healing scan computes and
+    persists them — every later call is lineage-only."""
+    recs = {r["bucket"]: r for r in read_lineage(store_dir)}
+    done = ckpt.done_buckets(store_dir)
+    if done and all("sig1" in recs.get(b, {}) for b in done):
+        return {
+            b: (recs[b]["sig1"], recs[b]["sig2"], recs[b]["rows"])
+            for b in done
+        }
+    sigs = signature_scan(store_dir)
+    healed = []
+    for b, (s1, s2, n) in sigs.items():
+        rec = recs.get(b, {"bucket": b, "rows": int(n)})
+        rec["sig1"] = int(s1)
+        rec["sig2"] = int(s2)
+        healed.append(rec)
+    write_lineage(store_dir, healed)
+    return sigs
 
 
 def write_lineage(out_dir: str, records: list[dict]) -> None:
