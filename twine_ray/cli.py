@@ -62,6 +62,17 @@ def cmd_message(args) -> int:
     from twine_ray.pipelines.kg import default_alias_rows
 
     _ray_session()
+    # config-driven XML types (the `[xslt:<mime>]` config analog):
+    # --xml-rules <mime>=<rules.toml>, repeatable
+    for spec in args.xml_rules or []:
+        mime, _, path = spec.partition("=")
+        if not path:
+            print(f"error: --xml-rules needs <mime>=<toml-file>: {spec!r}",
+                  file=sys.stderr)
+            return 2
+        from twine_ray.pipelines.xmlrules import register_xml_type
+
+        register_xml_type(mime, open(path).read())
     payload = open(args.input, "rb").read()
     uri = args.uri or f"file://{args.input}"
     msgs = rd.from_arrow(
@@ -166,6 +177,9 @@ def main(argv=None) -> int:
     pm.add_argument("-t", "--type", required=True)
     pm.add_argument("--uri")
     pm.add_argument("--out")
+    pm.add_argument("--xml-rules", action="append",
+                    help="register an XML type from TOML rules: "
+                         "<mime>=<rules.toml> (repeatable)")
     pm.set_defaults(fn=cmd_message)
 
     pu = sub.add_parser(
