@@ -209,6 +209,98 @@ def parse_rdfxml(payload: bytes | str, default_graph: str = "") -> list[dict]:
     return p.rows
 
 
+class RdfXmlSerializeError(ValueError):
+    pass
+
+
+_NCNAME_SUFFIX = None  # compiled lazily
+
+
+def _split_pred(iri: str) -> tuple[str, str]:
+    """Split a predicate IRI into (namespace, NCName local) for QName
+    serialization — the longest valid NCName suffix becomes the local
+    part.  Raises when no non-empty split exists (XML cannot name the
+    property; librdf raises the same way)."""
+    import re
+
+    global _NCNAME_SUFFIX
+    if _NCNAME_SUFFIX is None:
+        _NCNAME_SUFFIX = re.compile(r"[A-Za-z_][A-Za-z0-9_.-]*$")
+    m = _NCNAME_SUFFIX.search(iri)
+    if not m or m.start() == 0:
+        raise RdfXmlSerializeError(
+            f"predicate {iri!r} has no serializable QName local part"
+        )
+    return iri[: m.start()], iri[m.start():]
+
+
+def triples_to_rdfxml(rows: list[dict]) -> str:
+    """Serialize triple-schema rows to RDF/XML (graph column ignored —
+    RDF/XML has no named-graph syntax; quads export uses N-Quads/TriG).
+
+    Deterministic: rows sorted, namespaces assigned in first-use order;
+    bnodes via ``rdf:nodeID``; literals as element text with
+    ``rdf:datatype`` / ``xml:lang`` (lang lowercased to match the
+    parser normalization).  Round-trips through ``parse_rdfxml``
+    (property-tested against the Turtle and N-Quads serializers)."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    ordered = sorted(
+        rows, key=lambda r: (r["subj"], r["pred"], str(r["obj"])),
+    )
+    ns_prefix: dict[str, str] = {RDF_NS: "rdf"}
+
+    def prefix_of(ns: str) -> str:
+        if ns not in ns_prefix:
+            ns_prefix[ns] = f"ns{len(ns_prefix)}"
+        return ns_prefix[ns]
+
+    body: list[str] = []
+    i = 0
+    while i < len(ordered):
+        j = i
+        while j < len(ordered) and ordered[j]["subj"] == ordered[i]["subj"]:
+            j += 1
+        subj = ordered[i]["subj"]
+        if subj.startswith("_:"):
+            subj_attr = f"rdf:nodeID={quoteattr(subj[2:])}"
+        else:
+            subj_attr = f"rdf:about={quoteattr(subj)}"
+        props: list[str] = []
+        for r in ordered[i:j]:
+            ns, local = _split_pred(r["pred"])
+            qn = f"{prefix_of(ns)}:{local}"
+            if r["obj_is_lit"]:
+                attrs = ""
+                if r.get("obj_dt"):
+                    attrs = f" rdf:datatype={quoteattr(r['obj_dt'])}"
+                elif r.get("obj_lang"):
+                    attrs = f" xml:lang={quoteattr(r['obj_lang'].lower())}"
+                props.append(
+                    f"    <{qn}{attrs}>{escape(r['obj'])}</{qn}>"
+                )
+            elif str(r["obj"]).startswith("_:"):
+                props.append(
+                    f"    <{qn} rdf:nodeID={quoteattr(str(r['obj'])[2:])}/>"
+                )
+            else:
+                props.append(
+                    f"    <{qn} rdf:resource={quoteattr(str(r['obj']))}/>"
+                )
+        body.append(
+            f"  <rdf:Description {subj_attr}>\n"
+            + "\n".join(props)
+            + "\n  </rdf:Description>"
+        )
+        i = j
+    ns_decls = " ".join(
+        f"xmlns:{p}={quoteattr(ns)}" for ns, p in ns_prefix.items()
+    )
+    return (
+        f"<rdf:RDF {ns_decls}>\n" + "\n".join(body) + "\n</rdf:RDF>\n"
+    )
+
+
 def read_rdfxml(paths, default_graph: str = ""):
     """Bulk RDF/XML load: one document per file (like read_turtle)."""
     import pyarrow as pa
