@@ -175,6 +175,30 @@ def _phase2_resolved(raw_dir: str, rulebase, num_buckets: int,
     return resolved, {"members": n_members, "classes": n_classes}
 
 
+def auto_store_salt(raw_dir: str, threshold: float = 4.0,
+                    cap: int = 16) -> int:
+    """Heavy-hitter salt from the raw checkpoint's LINEAGE row counts
+    (parquet-footer metadata — zero data read; SURVEY.md §4's cheap
+    bucket-count pass, VERDICT r2 #9).  Raw buckets use the same graph
+    bucketing as the store, so a raw bucket holding ``threshold``x the
+    median rows predicts a hot store reducer: salt spreads it over
+    ``ceil(max/median)`` reducers (capped).  Uniform corpora return 1
+    — the single-sorted-file-per-bucket layout is kept."""
+    import math
+    import statistics
+
+    from twine_ray.stages.materialize import read_lineage
+
+    rows = [r["rows"] for r in read_lineage(raw_dir) if r.get("rows")]
+    if len(rows) < 2:
+        return 1
+    med = statistics.median(rows)
+    mx = max(rows)
+    if med <= 0 or mx <= threshold * med:
+        return 1
+    return max(2, min(cap, math.ceil(mx / med)))
+
+
 def run_kg_pipeline(
     pages_ds,
     out_dir: str,
@@ -185,7 +209,7 @@ def run_kg_pipeline(
     resume: bool = True,
     rulebase=DEFAULT_RULEBASE,
     phase2_shuffle: str | None = "HASH_SHUFFLE",
-    store_salt: int = 1,
+    store_salt: int | str = "auto",
 ) -> dict:
     """Production path: two-phase, resumable (SURVEY.md §4).
 
@@ -222,6 +246,8 @@ def run_kg_pipeline(
                      concurrency, resume)
     t1 = time.perf_counter()
 
+    if store_salt == "auto":
+        store_salt = auto_store_salt(raw_dir)
     resolved, coref = _phase2_resolved(raw_dir, rulebase, num_buckets,
                                        salt=store_salt)
     n_members, n_classes = coref["members"], coref["classes"]
@@ -255,6 +281,7 @@ def run_kg_pipeline(
             "coref_classes": n_classes,
             "raw_buckets": len(phase1["buckets"]),
             "store_buckets": len(phase2["buckets"]),
+            "store_salt": store_salt,
         },
         "lineage": {
             "raw": read_lineage(raw_dir),
@@ -281,6 +308,7 @@ def run_kg_incremental(
     concurrency=4,
     rulebase=DEFAULT_RULEBASE,
     phase2_shuffle: str | None = "HASH_SHUFFLE",
+    store_salt: int | str = "auto",
 ) -> dict:
     """Incremental mode (SURVEY.md §2.4 J3/S5; the ``twine -u`` update
     analog): reprocess only what a set of changed pages touches.
@@ -326,7 +354,10 @@ def run_kg_incremental(
                      concurrency, resume=True)
     t1 = time.perf_counter()
 
-    resolved, coref = _phase2_resolved(raw_dir, rulebase, num_buckets)
+    if store_salt == "auto":
+        store_salt = auto_store_salt(raw_dir)
+    resolved, coref = _phase2_resolved(raw_dir, rulebase, num_buckets,
+                                       salt=store_salt)
     ckpt_dir_reset(tmp_store)
     ckpt.ensure_manifest(tmp_store, bucketing)
     with _shuffle_strategy(phase2_shuffle):
