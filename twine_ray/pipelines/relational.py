@@ -824,3 +824,120 @@ def q_session_windows(sf_dir: str, gap_minutes: int = 30):
         return g[["user_id", "session_id", "session_start", "n_events"]]
 
     return bucketed_group_reduce(ev, ["user_id"], _reduce, partial=False)
+
+
+def asof_join(left_ds, right_ds, by: str, ts_col: str,
+              right_cols: dict, num_buckets: int = 64):
+    """Generic AS-OF join — an operator Ray Data lacks natively (task
+    brief §custom operators): for each left row, attach the LATEST
+    right row with ``right.ts <= left.ts`` sharing the ``by`` key.
+
+    Execution: both sides are tagged and bucketed by the key in ONE
+    shuffle (complete key groups co-locate); within each bucket the
+    match is a vectorized ``pd.merge_asof`` (C sort-merge), never a
+    Python loop.  Partitioning assumption: one key's history fits a
+    reducer — the same contract as every grouped operator here; salt
+    the key upstream if a single entity's history is reducer-scale.
+
+    ``right_cols`` maps right-side column -> output name.  Inner
+    semantics: left rows with no prior right row are dropped."""
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    tag_l = left_ds.map_batches(
+        lambda df: df.assign(__side=0), batch_format="pandas"
+    )
+    tag_r = right_ds.map_batches(
+        lambda df: df.assign(__side=1), batch_format="pandas"
+    )
+    both = tag_l.union(tag_r)
+    out_names = list(right_cols.values())
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["__side"] == 0].drop(columns="__side")
+        right = df[df["__side"] == 1].drop(columns="__side")
+        left = left.sort_values([ts_col, by], kind="mergesort")
+        right = right.sort_values([ts_col, by], kind="mergesort")
+        right = right[[by, ts_col, *right_cols]].rename(
+            columns=dict(right_cols)
+        )
+        m = pd.merge_asof(
+            left, right, on=ts_col, by=by, direction="backward",
+            suffixes=("", "__r"),
+        )
+        return m.dropna(subset=[out_names[0]])
+
+    return bucketed_group_reduce(
+        both, [by], _reduce, num_buckets=num_buckets, partial=False
+    )
+
+
+def q_asof_join(sf_dir: str):
+    """Each 'click' event joined to the user's most recent
+    'purchase' at-or-before it (DuckDB ASOF JOIN oracle)."""
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def _only(kind):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["event_type"] == kind].drop(
+                columns="event_type"
+            )
+
+        return _f
+
+    clicks = ev.map_batches(_only("click"), batch_format="pandas")
+    purchases = ev.map_batches(_only("purchase"), batch_format="pandas")
+    joined = asof_join(
+        clicks.map_batches(
+            lambda df: df.drop(columns="value"), batch_format="pandas"
+        ),
+        purchases,
+        by="user_id", ts_col="ts",
+        right_cols={"event_id": "purchase_event_id",
+                    "value": "purchase_value"},
+    )
+
+    def _out(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "ts": df["ts"].astype("datetime64[us]"),
+                "user_id": df["user_id"].astype("int64"),
+                "purchase_event_id":
+                    df["purchase_event_id"].astype("int64"),
+                "purchase_value": df["purchase_value"].astype("float64"),
+            }
+        )
+
+    return joined.map_batches(_out, batch_format="pandas")
+
+
+def q_range_join(sf_dir: str, band_minutes: int = 5):
+    """Band/range join — pairs of same-user events where the second
+    falls within (0, band] after the first; the interval-join shape
+    Ray Data has no native operator for.  ONE shuffle (bucket by
+    user), vectorized self-merge + band filter per bucket; per-key
+    pair counts bound the quadratic term (a reducer-scale hot key
+    would need time-bucket pre-blocking — documented assumption).
+    Returns (a_id, b_id, gap_us) with the gap in exact integer
+    microseconds (bit-parity with DuckDB epoch_us arithmetic)."""
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    band = pd.Timedelta(minutes=band_minutes)
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="user_id", suffixes=("_a", "_b"))
+        m = m[(m["ts_b"] > m["ts_a"]) & (m["ts_b"] <= m["ts_a"] + band)]
+        return pd.DataFrame(
+            {
+                "a_id": m["event_id_a"].astype("int64").values,
+                "b_id": m["event_id_b"].astype("int64").values,
+                "gap_us": (m["ts_b"] - m["ts_a"])
+                .astype("timedelta64[us]").astype("int64").values,
+            }
+        )
+
+    return bucketed_group_reduce(
+        ev, ["user_id"], _reduce, partial=False
+    )

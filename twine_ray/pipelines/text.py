@@ -134,6 +134,42 @@ def q_doc_quality(sf_dir: str):
     return ds.map_batches(_f, batch_format="pandas")
 
 
+def q_doc_quality_counts(sf_dir: str):
+    """INTEGER quality-feature counts per doc — the SQL-oracled twin of
+    ``q_doc_quality`` (whose float ratios are parity-hazardous):
+    n_chars, ASCII token count, alpha count, punct count, stopword
+    count, longest-line length.  Both sides use ASCII classes (the
+    punct class written as the range form ``[!-/:-@[-`{{-~]`` so the
+    regex is byte-identical under RE2 and Python)."""
+    from twine_ray.functions.quality import _STOP_EN
+    from twine_ray.functions.textnorm import simple_tokens_ascii
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    punct_pat = r"[!-/:-@\[-`{-~]"
+    alpha_pat = r"[A-Za-z]"
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        toks = texts.map(simple_tokens_ascii)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": texts.str.len().astype("int64"),
+                "n_tokens": toks.map(len).astype("int64"),
+                "n_alpha": texts.str.count(alpha_pat).astype("int64"),
+                "n_punct": texts.str.count(punct_pat).astype("int64"),
+                "n_stopwords": toks.map(
+                    lambda ts: sum(1 for t in ts if t.lower() in _STOP_EN)
+                ).astype("int64"),
+                "max_line_len": texts.map(
+                    lambda t: max(len(ln) for ln in t.split("\n"))
+                ).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pandas")
+
+
 def q_doc_fingerprints(sf_dir: str):
     """SimHash + winnowing fingerprint count per doc (rows-only)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
