@@ -168,6 +168,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_windows": relational.q_hopping_windows,
         "asof_join": relational.q_asof_join,
         "range_join": relational.q_range_join,
+        "distinct_users_per_type": relational.q_distinct_users_per_type,
+        "hll_users_per_type": relational.q_hll_users_per_type,
+        "median_by_group": relational.q_median_by_group,
+        "moving_sum": relational.q_moving_sum,
         # --- text analysis over documents
         "doc_lang_counts": text.q_doc_lang_counts,
         "doc_nchars": text.q_doc_nchars,
@@ -388,6 +392,30 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND b.ts > a.ts
              AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "median_by_group": """
+            -- exact median over BIGINT micro-units: DuckDB's
+            -- quantile_cont midpoint a+(b-a)*0.5 and numpy's (a+b)/2
+            -- are both exact doubles at this magnitude.
+            SELECT l_returnflag,
+                   median(CAST(ROUND(l_quantity * 1000000) AS BIGINT))
+                       / 1000000.0 AS median_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "moving_sum": """
+            SELECT event_id, user_id,
+                   SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w
+                       / 1000000.0 AS moving_sum,
+                   COUNT(*) OVER w AS n_window
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         "latest_event_per_user": """
             SELECT event_id, ts, user_id, event_type FROM (

@@ -122,3 +122,50 @@ def test_range_join_band_semantics(ray_session, sf_dir):
     assert (df["gap_us"] > 0).all()
     assert (df["gap_us"] <= 5 * 60 * 1_000_000).all()
     assert len(df) == len(df.drop_duplicates(["a_id", "b_id"]))
+
+
+def test_hll_sketch_accuracy_and_determinism(ray_session, sf_dir):
+    """HLL estimate within 5% of exact; sketch identical under any
+    partitioning (deterministic hash + associative max-merge)."""
+    import numpy as np
+    import pandas as pd
+
+    from twine_ray.functions.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+    from twine_ray.pipelines.relational import (
+        q_distinct_users_per_type,
+        q_hll_users_per_type,
+    )
+
+    exact = (
+        q_distinct_users_per_type(sf_dir).to_pandas()
+        .set_index("event_type")["n_users"]
+    )
+    approx = (
+        q_hll_users_per_type(sf_dir).to_pandas()
+        .set_index("event_type")["approx_users"]
+    )
+    assert set(exact.index) == set(approx.index)
+    for et in exact.index:
+        assert abs(approx[et] - exact[et]) <= max(3, 0.05 * exact[et]), et
+
+    # merge associativity / partitioning invariance of the sketch
+    vals = [f"u{i}" for i in range(500)]
+    whole = hll_registers(vals)
+    parts = hll_merge(
+        hll_merge(hll_registers(vals[:100]), hll_registers(vals[100:350])),
+        hll_registers(vals[350:]),
+    )
+    assert np.array_equal(whole, parts)
+    est = hll_estimate(whole)
+    assert abs(est - 500) <= 0.05 * 500
+
+    # the distributed estimate equals a second run exactly
+    approx2 = (
+        q_hll_users_per_type(sf_dir).to_pandas()
+        .set_index("event_type")["approx_users"]
+    )
+    pd.testing.assert_series_equal(approx.sort_index(), approx2.sort_index())

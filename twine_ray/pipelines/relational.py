@@ -941,3 +941,139 @@ def q_range_join(sf_dir: str, band_minutes: int = 5):
     return bucketed_group_reduce(
         ev, ["user_id"], _reduce, partial=False
     )
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type: per-batch
+    (type, user) dedup first — only distinct pairs shuffle — then one
+    bucketed final dedup + count."""
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["event_type", "user_id"])
+
+    pairs = bucketed_group_reduce(
+        ev, ["event_type", "user_id"], _pairs
+    )
+
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["event_type", "user_id"])
+        g = df.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+        g["n_users"] = g["n_users"].astype("int64")
+        return g
+
+    return bucketed_group_reduce(pairs, ["event_type"], _count,
+                                 partial=False)
+
+
+def q_hll_users_per_type(sf_dir: str, exact_check: bool = False):
+    """APPROXIMATE distinct users per event_type via a HyperLogLog
+    sketch (functions/sketch.py): per-batch vectorized register
+    arrays, elementwise-max merge — at cluster scale only 4 KiB
+    sketch rows shuffle, never user ids.  Deterministic hash, so the
+    sketch is bit-identical under any partitioning (tested); accuracy
+    gated vs the exact count in tests (no SQL oracle — approximate by
+    nature)."""
+    from twine_ray.functions.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        out = {"event_type": [], "regs": []}
+        if "regs" in df.columns:
+            for et, g in df.groupby("event_type", sort=True):
+                merged = np.zeros(0, dtype=np.uint8)
+                for blob in g["regs"]:
+                    arr = np.frombuffer(blob, dtype=np.uint8)
+                    merged = arr.copy() if merged.size == 0 else \
+                        np.maximum(merged, arr)
+                out["event_type"].append(et)
+                out["regs"].append(merged.tobytes())
+        else:
+            for et, g in df.groupby("event_type", sort=True):
+                out["event_type"].append(et)
+                out["regs"].append(
+                    hll_registers(g["user_id"].tolist()).tobytes()
+                )
+        return pd.DataFrame(out)
+
+    merged = bucketed_group_reduce(ev, ["event_type"], _reduce)
+
+    def _est(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "approx_users": [
+                    hll_estimate(np.frombuffer(b, dtype=np.uint8))
+                    for b in df["regs"]
+                ],
+            }
+        )
+
+    return merged.map_batches(_est, batch_format="pandas")
+
+
+def q_median_by_group(sf_dir: str):
+    """Exact per-group median of l_quantity (micro-integer domain so
+    the even-count midpoint (a+b)/2 is bit-identical to DuckDB's
+    median over the same BIGINTs).  Complete key groups co-locate via
+    ONE bucket shuffle; medians are numpy C kernels per group."""
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        micro = np.rint(df["l_quantity"].to_numpy() * 1e6).astype("int64")
+        g = df.assign(_m=micro).groupby("l_returnflag", as_index=False)
+        out = g.agg(median_qty_micro=("_m", "median"),
+                    n_rows=("_m", "size"))
+        out["median_qty"] = out["median_qty_micro"] / 1e6
+        out["n_rows"] = out["n_rows"].astype("int64")
+        return out[["l_returnflag", "median_qty", "n_rows"]]
+
+    return bucketed_group_reduce(li, ["l_returnflag"], _reduce,
+                                 partial=False)
+
+
+def q_moving_sum(sf_dir: str, window: int = 5):
+    """Per-user moving 5-row window over value (ordered by ts,
+    event_id): exact micro-integer rolling sum + window row count —
+    the ROWS BETWEEN 4 PRECEDING AND CURRENT ROW shape, division-free
+    for bit parity."""
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "value"])
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        micro = np.rint(df["value"].to_numpy() * 1e6).astype("int64")
+        g = df.assign(_m=micro).groupby("user_id", sort=False)
+        roll = g["_m"].rolling(window, min_periods=1)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64").values,
+                "user_id": df["user_id"].astype("int64").values,
+                "moving_sum": (roll.sum().to_numpy() / 1e6),
+                "n_window": roll.count().to_numpy().astype("int64"),
+            }
+        )
+
+    return bucketed_group_reduce(ev, ["user_id"], _reduce, partial=False)
