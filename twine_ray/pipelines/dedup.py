@@ -143,8 +143,10 @@ class _MinHashStage:
         return pd.DataFrame(rows)
 
 
-def _candidate_pairs(band_rows_ds):
-    """(band_key, doc_id) rows -> distinct candidate (a, b) pairs.
+def _candidate_pairs_raw(band_rows_ds, key_cols=("band_key",),
+                         num_buckets: int | None = None):
+    """(bucket keys, doc_id) rows -> candidate (a, b) pairs, possibly
+    with cross-bucket duplicates (two docs can share several buckets).
 
     Pair generation is a vectorized self-merge per bucket of band keys
     (pandas C join), not a Python loop per band; the standard LSH
@@ -152,25 +154,68 @@ def _candidate_pairs(band_rows_ds):
     construction (log if one explodes is left to callers)."""
     from twine_ray.stages.grouped import bucketed_group_reduce
 
+    keys = list(key_cols)
+
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates()
-        m = df.merge(df, on="band_key", suffixes=("_a", "_b"))
+        m = df.merge(df, on=keys, suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
         return pd.DataFrame(
             {"a": m["doc_id_a"].values, "b": m["doc_id_b"].values}
         ).drop_duplicates()
 
-    pairs = bucketed_group_reduce(
+    if num_buckets is None:
+        num_buckets = 64
+    return bucketed_group_reduce(
         band_rows_ds.map_batches(_noop_pandas, batch_format="pandas"),
-        ["band_key"],
+        keys,
         _pairs,
         partial=False,
+        num_buckets=num_buckets,
     )
+
+
+def _dedup_pairs_auto(raw_pairs_ds, limit: int | None = None):
+    """Cross-bucket pair dedup with a size valve: the raw pair list is
+    materialized and counted DISTRIBUTED first; under ``limit`` rows
+    (two int64 columns) it dedups on the driver — skipping a whole
+    groupby exchange that costs seconds of fixed orchestration for a
+    few hundred rows — else the tested distributed dedup runs.
+    Returns (pairs_ds, n_pairs, pairs_df_or_None)."""
+    import ray.data as rd
+
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    if limit is None:
+        limit = BROADCAST_ID_LIMIT
+    raw = raw_pairs_ds.materialize()
+    n_raw = raw.count()
+    if n_raw == 0:
+        return raw, 0, None
+    if n_raw <= limit:
+        prs = (
+            raw.to_pandas().drop_duplicates()
+            .astype({"a": "int64", "b": "int64"})
+            .reset_index(drop=True)
+        )
+        return (
+            rd.from_arrow(pa.Table.from_pandas(prs, preserve_index=False)),
+            len(prs),
+            prs,
+        )
 
     def _dedup(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates()
 
-    return bucketed_group_reduce(pairs, ["a", "b"], _dedup)
+    pairs = bucketed_group_reduce(raw, ["a", "b"], _dedup).materialize()
+    return pairs, pairs.count(), None
+
+
+def _candidate_pairs(band_rows_ds):
+    """Distinct candidate pairs (compat wrapper: raw generation + the
+    auto-valved dedup)."""
+    pairs, _n, _prs = _dedup_pairs_auto(_candidate_pairs_raw(band_rows_ds))
+    return pairs
 
 
 # Serialized shingle-set separator: not \w, not space, so it can never
@@ -301,8 +346,19 @@ def q_dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
         _MinHashStage, batch_format="pandas", batch_size=512,
         concurrency=pool(8),
     )
-    pairs = _candidate_pairs(band_rows).materialize()
-    n_pairs = pairs.count()
+    # size the band exchange to the data: the shingle table is already
+    # materialized, so n_docs is free; a 64-way groupby for a few
+    # thousand docs is pure orchestration overhead
+    from twine_ray.stages.grouped import default_num_partitions as _dnp
+
+    n_docs = shingle_all.count()
+    pairs, n_pairs, prs = _dedup_pairs_auto(
+        _candidate_pairs_raw(
+            band_rows,
+            num_buckets=_dnp(hi=64, rows=n_docs * BANDS,
+                             rows_per_partition=100_000),
+        )
+    )
     if n_pairs == 0:
         return rd.from_arrow(
             pa.Table.from_pydict(
@@ -315,13 +371,13 @@ def q_dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
         )
 
     shingle_ds = shingle_all
-    if 2 * n_pairs <= BROADCAST_ID_LIMIT:
-        # bounded driver collect (<= limit rows of two ints) -> broadcast
+    if prs is not None:
+        # bounded pair list already on the driver -> broadcast its id
+        # set; docs stream through a filter instead of a shuffle
         import pyarrow.compute as pc
 
         from twine_ray.state.broadcast import broadcast, resolve
 
-        prs = pairs.to_pandas()
         ids = np.unique(np.concatenate(
             [prs["a"].to_numpy(), prs["b"].to_numpy()]
         ))
@@ -465,17 +521,14 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
              "hamming": m["hamming"].values}
         ).drop_duplicates()
 
-    pairs = bucketed_group_reduce(
+    raw = bucketed_group_reduce(
         band_rows.map_batches(_noop_pandas, batch_format="pandas"),
         ["band_key"],
         _pairs,
         partial=False,
     )
-
-    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
-
-    return bucketed_group_reduce(pairs, ["a", "b"], _dedup)
+    pairs, _n, _prs = _dedup_pairs_auto(raw)
+    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -530,28 +583,31 @@ def q_dedup_jaccard(sf_dir: str, threshold: float = 0.5):
         _prefix_rows, batch_format="pandas", batch_size=512
     )
 
-    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates()
-        m = df.merge(df, on=["source", "ptok"], suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]]
-        return pd.DataFrame(
-            {"a": m["doc_id_a"].values, "b": m["doc_id_b"].values}
-        ).drop_duplicates().astype({"a": "int64", "b": "int64"})
-
-    from twine_ray.stages.grouped import bucketed_group_reduce
-
-    pairs = bucketed_group_reduce(
-        prefix_rows, ["source", "ptok"], _pairs, partial=False
-    )
-
-    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
-
-    pairs = bucketed_group_reduce(pairs, ["a", "b"], _dedup).materialize()
     from twine_ray.stages.grouped import default_num_partitions
 
+    pairs, n_pairs, _prs = _dedup_pairs_auto(
+        _candidate_pairs_raw(
+            prefix_rows, key_cols=("source", "ptok"),
+            num_buckets=default_num_partitions(
+                hi=64, rows=shingle_all.count() * 8,
+                rows_per_partition=100_000,
+            ),
+        )
+    )
+    if n_pairs == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {"a": [], "b": [], "jaccard": []},
+                schema=pa.schema(
+                    [("a", pa.int64()), ("b", pa.int64()),
+                     ("jaccard", pa.float64())]
+                ),
+            )
+        )
     return _verify_jaccard(
         pairs, shingle_all.select_columns(["sid", "sh"]), threshold,
-        n_parts=default_num_partitions(hi=64, rows=2 * pairs.count(),
+        n_parts=default_num_partitions(hi=64, rows=2 * n_pairs,
                                        rows_per_partition=25_000),
     )
