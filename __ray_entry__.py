@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": text.q_doc_langid,
         "doc_quality": text.q_doc_quality,
         "doc_quality_counts": text.q_doc_quality_counts,
+        "top_tokens": text.q_top_tokens,
+        "quality_filter": text.q_quality_filter,
         "doc_fingerprints": text.q_doc_fingerprints,
         # --- dedup family
         "dedup_exact": dedup.q_dedup_exact,
@@ -486,6 +488,33 @@ def oracle_sql() -> dict[str, str]:
                        string_split(text, chr(10)), x -> LENGTH(x)))
                        AS max_line_len
             FROM documents
+        """,
+        "top_tokens": """
+            SELECT t AS token, COUNT(*) AS n FROM (
+                SELECT unnest(regexp_extract_all(
+                    lower(text), '[\\w]+(''[\\w]+)?')) AS t
+                FROM documents
+            ) GROUP BY t
+            ORDER BY n DESC, t ASC LIMIT 50
+        """,
+        "quality_filter": """
+            -- integer-arithmetic C4-style filter (no float ratios):
+            -- >=15 tokens, punct <= 1/4 chars, alpha >= 3/10 chars
+            WITH c AS (
+                SELECT doc_id,
+                       LENGTH(text) AS n_chars,
+                       len(regexp_extract_all(
+                           text, '[\\w]+(''[\\w]+)?')) AS n_tokens,
+                       len(regexp_extract_all(text, '[A-Za-z]'))
+                           AS n_alpha,
+                       len(regexp_extract_all(text, '[!-/:-@[-`{-~]'))
+                           AS n_punct
+                FROM documents
+            )
+            SELECT doc_id, n_tokens, n_chars FROM c
+            WHERE n_tokens >= 15
+              AND 4 * n_punct <= n_chars
+              AND 10 * n_alpha >= 3 * n_chars
         """,
         "doc_avg_len_by_source": """
             SELECT source, COUNT(*) AS n_docs,

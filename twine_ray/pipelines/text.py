@@ -170,6 +170,72 @@ def q_doc_quality_counts(sf_dir: str):
     return ds.map_batches(_f, batch_format="pandas")
 
 
+def q_top_tokens(sf_dir: str, k: int = 50):
+    """Corpus-wide token frequency top-k (the classic wordcount, done
+    scale-shaped): per-batch vectorized value_counts — only (token, n)
+    partials leave the map stage — one vocabulary-scale groupby sum,
+    then sort+limit (never a driver-side vocabulary collect).
+    Deterministic ties: n desc, token asc."""
+    from ray.data.aggregate import Sum
+
+    from twine_ray.functions.textnorm import simple_tokens_ascii
+
+    ds = _docs(sf_dir, ["text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [
+            t
+            for text in df["text"]
+            for t in simple_tokens_ascii((text or "").lower())
+        ]
+        vc = pd.Series(toks, dtype=object).value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.astype(str), "n": vc.to_numpy("int64")}
+        )
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _fix(df: pd.DataFrame) -> pd.DataFrame:
+        df["n"] = df["n"].astype("int64")
+        return df
+
+    return (
+        counts.map_batches(_fix, batch_format="pandas")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def q_quality_filter(sf_dir: str):
+    """C4/Gopher-style document filter in PURE INTEGER arithmetic so
+    DuckDB can hash-check the surviving set exactly (float ratios
+    would be parity-hazardous): keep docs with >= 15 ASCII tokens,
+    punctuation <= 1/4 of chars (4*n_punct <= n_chars) and alphabetic
+    >= 3/10 of chars (10*n_alpha >= 3*n_chars)."""
+    import pyarrow.compute as pc
+
+    ds = q_doc_quality_counts(sf_dir)
+
+    def _f(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["n_tokens"], 15),
+                pc.less_equal(pc.multiply(t["n_punct"], 4), t["n_chars"]),
+            ),
+            pc.greater_equal(
+                pc.multiply(t["n_alpha"], 10),
+                pc.multiply(t["n_chars"], 3),
+            ),
+        )
+        return t.filter(keep).select(["doc_id", "n_tokens", "n_chars"])
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 def q_doc_fingerprints(sf_dir: str):
     """SimHash + winnowing fingerprint count per doc (rows-only)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
