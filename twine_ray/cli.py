@@ -133,6 +133,42 @@ def cmd_update(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Dump a triple store to an RDF serialization — the bulk-export
+    side of the reference (``twine_rdf_model_nquads`` / librdf
+    serializers).  N-Quads streams distributed (task-written shards +
+    manifest); Turtle/TriG/RDF-XML write one document (driver-side —
+    these formats need whole-document prefix/subject grouping, so they
+    are for entity-scale exports; use nquads for corpus-scale)."""
+    from twine_ray.stages.materialize import read_triple_store
+
+    _ray_session()
+    ds = read_triple_store(args.store).drop_columns(["graph_bucket"])
+    fmt = args.format
+    if fmt == "nquads":
+        from twine_ray.sources.nquads import write_nquads
+
+        res = write_nquads(ds, args.out)
+        print(json.dumps(res))
+        return 0
+    rows = ds.to_pandas().to_dict("records")
+    if fmt in ("turtle", "trig"):
+        from twine_ray.sources.turtle import triples_to_turtle
+
+        text = triples_to_turtle(rows, trig=(fmt == "trig"))
+    elif fmt == "rdfxml":
+        from twine_ray.sources.rdfxml import triples_to_rdfxml
+
+        text = triples_to_rdfxml(rows)
+    else:
+        print(f"error: unknown format {fmt!r}", file=sys.stderr)
+        return 2
+    with open(args.out, "w") as f:
+        f.write(text)
+    print(json.dumps({"rows": len(rows), "file": args.out}))
+    return 0
+
+
 def cmd_workflow(args) -> int:
     import ray.data as rd
 
@@ -193,6 +229,14 @@ def main(argv=None) -> int:
     pu.add_argument("-b", "--bucket", action="append", type=int,
                     help="raw graph bucket id to recompute (repeatable)")
     pu.set_defaults(fn=cmd_update)
+
+    pe = sub.add_parser("export", help="dump a triple store to RDF")
+    pe.add_argument("store", help="store dir (e.g. <out>/store)")
+    pe.add_argument("--format", default="nquads",
+                    choices=["nquads", "turtle", "trig", "rdfxml"])
+    pe.add_argument("--out", required=True,
+                    help="output dir (nquads) or file (other formats)")
+    pe.set_defaults(fn=cmd_export)
 
     pw = sub.add_parser("workflow", help="config-ordered stage chain")
     pw.add_argument("input")
