@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stand-in; schema/batching/actor plumbing is real — rows-only)
         "media_features": multimodal.q_media_features,
         "media_frames": multimodal.q_media_frames,
+        "media_meta": multimodal.q_media_meta,
+        "media_frame_offsets": multimodal.q_media_frame_offsets,
     }
 
 
@@ -673,6 +675,34 @@ def oracle_sql() -> dict[str, str]:
                        ) AS "rank"
                 FROM s
             ) WHERE "rank" <= 5
+        """,
+        "media_meta": """
+            -- the media table is a pure function of media_id, so the
+            -- oracle needs NO table: header fields + REAL payload byte
+            -- length (12-byte header + min(4096, max(64, w*h//64))
+            -- body) reconstructed from generate_series. DuckDB lateral
+            -- aliases let n_bytes reference width/height.
+            SELECT i AS media_id,
+                   CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(CASE WHEN i % 3 = 1 THEN 0
+                        ELSE 64 + (i % 8) * 32 END AS BIGINT) AS width,
+                   CAST(CASE WHEN i % 3 = 1 THEN 0
+                        ELSE 64 + (i % 5) * 48 END AS BIGINT) AS height,
+                   CAST(CASE WHEN i % 3 = 0 THEN 0
+                        ELSE 1000 + (i % 60) * 500 END AS BIGINT)
+                       AS duration_ms,
+                   12 + LEAST(4096, GREATEST(64, width * height // 64))
+                       AS n_bytes
+            FROM (SELECT unnest(generate_series(0, 299)) AS i)
+        """,
+        "media_frame_offsets": """
+            SELECT i AS media_id,
+                   CAST(j AS BIGINT) AS frame_idx,
+                   (1000 + (i % 60) * 500) * j // 4 AS offset_ms
+            FROM (SELECT unnest(generate_series(0, 299)) AS i)
+            CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+            WHERE i % 3 = 2
         """,
         "embed_neardup": """
             WITH v AS (

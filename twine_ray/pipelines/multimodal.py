@@ -236,3 +236,50 @@ def q_media_frames(sf_dir: str, n_media: int = 300):
         FrameSampler, batch_format="pyarrow", batch_size=64,
         concurrency=pool(8),
     )
+
+
+def q_media_meta(sf_dir: str, n_media: int = 300):
+    """SQL-ORACLED metadata slice of the media plumbing: the typed
+    header fields plus the REAL payload byte length, decoded from the
+    binary column by the actor-pool feature stage — DuckDB reconstructs
+    them from ``generate_series`` (the media table is a pure function
+    of media_id), so this green row pins the binary encode/decode
+    plumbing, not just row counts."""
+    import pyarrow.compute as pc
+
+    ds = synth_media_dataset(n_media)
+
+    def _meta(batch: pa.Table) -> pa.Table:
+        lens = pc.cast(pc.binary_length(batch["payload"]), pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "width": pc.cast(batch["width"], pa.int64()),
+                "height": pc.cast(batch["height"], pa.int64()),
+                "duration_ms": pc.cast(batch["duration_ms"], pa.int64()),
+                "n_bytes": lens,
+            }
+        )
+
+    return ds.map_batches(_meta, batch_format="pyarrow", batch_size=64)
+
+
+def q_media_frame_offsets(sf_dir: str, n_media: int = 300, k: int = 4):
+    """SQL-ORACLED frame-offset slice of the sampler: (media_id,
+    frame_idx, offset_ms) per video — offsets are integer arithmetic
+    on the decoded duration (the hash column stays rows-only)."""
+    ds = q_media_frames(sf_dir, n_media)
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict(
+            {
+                "media_id": pc.cast(batch["media_id"], pa.int64()),
+                "frame_idx": pc.cast(batch["frame_idx"], pa.int64()),
+                "offset_ms": pc.cast(batch["offset_ms"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_proj, batch_format="pyarrow")
