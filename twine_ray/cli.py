@@ -169,6 +169,23 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_get(args) -> int:
+    """Fetch one named graph (or a triple pattern) from the store —
+    the ``twine_sparql_get`` analog; reads only the graph's bucket
+    partition.  Prints N-Quads."""
+    from twine_ray.sources.nquads import triple_row_to_nquad
+    from twine_ray.stages.query import match_triples
+
+    _ray_session()
+    ds = match_triples(
+        args.store, graph=args.graph, subj=args.subj,
+        pred=args.pred, obj=args.obj,
+    )
+    for row in ds.to_pandas().to_dict("records"):
+        print(triple_row_to_nquad(row))
+    return 0
+
+
 def cmd_workflow(args) -> int:
     import ray.data as rd
 
@@ -229,6 +246,14 @@ def main(argv=None) -> int:
     pu.add_argument("-b", "--bucket", action="append", type=int,
                     help="raw graph bucket id to recompute (repeatable)")
     pu.set_defaults(fn=cmd_update)
+
+    pg = sub.add_parser("get", help="fetch a named graph / pattern")
+    pg.add_argument("store")
+    pg.add_argument("--graph")
+    pg.add_argument("--subj")
+    pg.add_argument("--pred")
+    pg.add_argument("--obj")
+    pg.set_defaults(fn=cmd_get)
 
     pe = sub.add_parser("export", help="dump a triple store to RDF")
     pe.add_argument("store", help="store dir (e.g. <out>/store)")

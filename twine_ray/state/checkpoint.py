@@ -59,6 +59,14 @@ def ensure_manifest(out_dir: str, params: dict, reset: bool = False) -> None:
     os.replace(tmp, mp)
 
 
+def read_manifest(out_dir: str) -> dict | None:
+    mp = _manifest_path(out_dir)
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        return json.load(f)
+
+
 def data_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "data")
 
