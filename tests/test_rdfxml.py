@@ -182,3 +182,45 @@ def test_rdf_type_property_attribute():
            b'</rdf:RDF>')
     with pytest.raises(RdfXmlParseError):
         parse_rdfxml(bad)
+
+
+def test_rdf_li_containers():
+    """rdf:li numbers itself rdf:_1.. per node element (Seq/Bag/Alt)."""
+    doc = (b'<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/'
+           b'22-rdf-syntax-ns#">'
+           b'<rdf:Seq rdf:about="http://e/s">'
+           b'<rdf:li>one</rdf:li><rdf:li>two</rdf:li>'
+           b'<rdf:li rdf:resource="http://e/three"/>'
+           b'</rdf:Seq></rdf:RDF>')
+    rows = parse_rdfxml(doc)
+    preds = [r["pred"] for r in rows if not r["pred"].endswith("#type")]
+    assert preds == [
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#_1",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#_2",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#_3",
+    ]
+    assert rows[0]["obj"].endswith("Seq")  # typed node
+    objs = [r["obj"] for r in rows if not r["pred"].endswith("#type")]
+    assert objs == ["one", "two", "http://e/three"]
+
+
+def test_property_reification_sugar():
+    """rdf:ID on a property element emits the base triple + the four
+    rdf:Statement triples about <base>#id."""
+    doc = (b'<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/'
+           b'22-rdf-syntax-ns#" xmlns:ex="http://ex.org/" '
+           b'xml:base="http://b.example/doc">'
+           b'<rdf:Description rdf:about="http://e/s">'
+           b'<ex:p rdf:ID="st1">hello</ex:p>'
+           b'</rdf:Description></rdf:RDF>')
+    rows = parse_rdfxml(doc)
+    base = [r for r in rows if r["subj"] == "http://e/s"]
+    assert len(base) == 1 and base[0]["obj"] == "hello"
+    st = "http://b.example/doc#st1"
+    reif = {r["pred"].rsplit("#", 1)[1]: r for r in rows
+            if r["subj"] == st}
+    assert set(reif) == {"type", "subject", "predicate", "object"}
+    assert reif["type"]["obj"].endswith("#Statement")
+    assert reif["subject"]["obj"] == "http://e/s"
+    assert reif["predicate"]["obj"] == "http://ex.org/p"
+    assert reif["object"]["obj"] == "hello" and reif["object"]["obj_is_lit"]

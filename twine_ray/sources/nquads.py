@@ -74,7 +74,9 @@ def parse_nquads_line(line: str, default_graph: str = "") -> dict | None:
     Returns None for blank lines / comments / malformed lines (Twine
     logs-and-skips malformed statements rather than failing the batch).
     """
-    line = line.strip()
+    # strip ASCII whitespace only: str.strip() also eats U+0085/U+2028
+    # etc., which are LEGAL raw inside N-Quads literals
+    line = line.strip(" \t\r\n")
     if not line or line.startswith("#"):
         return None
     m = _LINE_RE.match(line)
@@ -104,7 +106,10 @@ def parse_nquads_line(line: str, default_graph: str = "") -> dict | None:
 
 def parse_nquads_text(text: str, default_graph: str = "") -> list[dict]:
     rows = []
-    for line in text.splitlines():
+    # split on \n ONLY: str.splitlines() also splits on U+0085/U+2028/
+    # U+000C, which are legal raw characters inside N-Quads literals
+    # (hypothesis-caught via the cross-serializer round-trip)
+    for line in text.split("\n"):
         row = parse_nquads_line(line, default_graph)
         if row is not None:
             rows.append(row)

@@ -17,10 +17,14 @@ RDF/XML subset:
 - ``rdf:parseType``: "Resource", "Collection" (expands like Turtle's
   ``(...)``), and "Literal" (inner XML serialized verbatim as an
   rdf:XMLLiteral-typed literal)
+- containers: ``rdf:li`` property elements number themselves
+  ``rdf:_1, rdf:_2, ...`` per node element (Seq/Bag/Alt)
+- reification sugar: ``rdf:ID="x"`` on a PROPERTY element emits the
+  base triple plus the four ``rdf:Statement`` triples about
+  ``<base>#x``
 
-Reification and rdf:li containers are not emitted (no fixtures in the
-conformance surface).  Output rows use the engine triple schema;
-malformed XML raises ``RdfXmlParseError``.
+Output rows use the engine triple schema; malformed XML raises
+``RdfXmlParseError``.
 """
 
 from __future__ import annotations
@@ -125,34 +129,56 @@ class _Parser:
                     f"unsupported rdf-namespace property attribute {pred!r}"
                 )
             self.emit(subj, pred, val, True, "", lang)
+        li_n = 0
         for prop in el:
-            self.property_element(subj, prop, base, lang)
+            if prop.tag == _RDF("li"):
+                li_n += 1
+                self.property_element(subj, prop, base, lang,
+                                      pred_override=f"{RDF_NS}_{li_n}")
+            else:
+                self.property_element(subj, prop, base, lang)
         return subj
 
+    def _reify(self, rid: str, base: str, subj: str, pred: str,
+               obj: str, is_lit: bool, dt: str, lang: str) -> None:
+        """rdf:ID reification sugar: four triples about <base>#rid."""
+        st = urljoin(base, f"#{rid}") if base else f"#{rid}"
+        self.emit(st, RDF_TYPE, RDF_NS + "Statement", False)
+        self.emit(st, RDF_NS + "subject", subj, False)
+        self.emit(st, RDF_NS + "predicate", pred, False)
+        self.emit(st, RDF_NS + "object", obj, is_lit, dt, lang)
+
     def property_element(self, subj: str, el: ET.Element, base: str,
-                         lang: str) -> None:
+                         lang: str, pred_override: str | None = None) -> None:
         base = el.get(f"{{{XML_NS}}}base", base)
         lang = el.get(f"{{{XML_NS}}}lang", lang)
-        pred = _expand_tag(el.tag)
+        pred = pred_override or _expand_tag(el.tag)
+        reify_id = el.get(_RDF("ID"))
         parse_type = el.get(_RDF("parseType"))
         resource = el.get(_RDF("resource"))
         nid = el.get(_RDF("nodeID"))
         dt = el.get(_RDF("datatype"))
         children = list(el)
 
+        def emit_prop(obj, is_lit, odt="", olang=""):
+            self.emit(subj, pred, obj, is_lit, odt, olang)
+            if reify_id is not None:
+                self._reify(reify_id, base, subj, pred, obj, is_lit,
+                            odt, olang)
+
         if parse_type == "Resource":
             node = self.fresh_bnode()
-            self.emit(subj, pred, node, False)
+            emit_prop(node, False)
             for sub in children:
                 self.property_element(node, sub, base, lang)
             return
         if parse_type == "Collection":
             items = [self.node_element(c, base, lang) for c in children]
             if not items:
-                self.emit(subj, pred, RDF_NIL, False)
+                emit_prop(RDF_NIL, False)
                 return
             head = self.fresh_bnode()
-            self.emit(subj, pred, head, False)
+            emit_prop(head, False)
             node = head
             for i, item in enumerate(items):
                 self.emit(node, RDF_FIRST, item, False)
@@ -169,17 +195,16 @@ class _Parser:
             inner = (el.text or "") + "".join(
                 ET.tostring(c, encoding="unicode") for c in children
             )
-            self.emit(subj, pred, inner, True,
-                      RDF_NS + "XMLLiteral", "")
+            emit_prop(inner, True, RDF_NS + "XMLLiteral", "")
             return
         if parse_type is not None:
             raise RdfXmlParseError(f"unsupported parseType {parse_type!r}")
         if resource is not None:
             obj = urljoin(base, resource) if base else resource
-            self.emit(subj, pred, obj, False)
+            emit_prop(obj, False)
             return
         if nid is not None:
-            self.emit(subj, pred, f"_:{nid}", False)
+            emit_prop(f"_:{nid}", False)
             return
         if children:
             if len(children) != 1:
@@ -187,10 +212,10 @@ class _Parser:
                     f"property <{pred}> must contain one node element"
                 )
             obj = self.node_element(children[0], base, lang)
-            self.emit(subj, pred, obj, False)
+            emit_prop(obj, False)
             return
         text = el.text or ""
-        self.emit(subj, pred, text, True, dt or "", "" if dt else lang.lower())
+        emit_prop(text, True, dt or "", "" if dt else lang.lower())
 
 
 def parse_rdfxml(payload: bytes | str, default_graph: str = "") -> list[dict]:
@@ -245,6 +270,13 @@ def triples_to_rdfxml(rows: list[dict]) -> str:
     (property-tested against the Turtle and N-Quads serializers)."""
     from xml.sax.saxutils import escape, quoteattr
 
+    def _xml_text(s: str) -> str:
+        # \r and U+0085 (NEL) are line-end-normalized to \n by XML
+        # parsers when literal — character references survive intact
+        return (
+            escape(s).replace("\r", "&#xD;").replace("\x85", "&#x85;")
+        )
+
     ordered = sorted(
         rows, key=lambda r: (r["subj"], r["pred"], str(r["obj"])),
     )
@@ -277,7 +309,7 @@ def triples_to_rdfxml(rows: list[dict]) -> str:
                 elif r.get("obj_lang"):
                     attrs = f" xml:lang={quoteattr(r['obj_lang'].lower())}"
                 props.append(
-                    f"    <{qn}{attrs}>{escape(r['obj'])}</{qn}>"
+                    f"    <{qn}{attrs}>{_xml_text(r['obj'])}</{qn}>"
                 )
             elif str(r["obj"]).startswith("_:"):
                 props.append(
