@@ -28,10 +28,16 @@ driver's rows-only check is backed by deeper verification in tests/:
   in DuckDB); banded verify tested against scalar hamming64.
 - ann_lsh / ann_ivf: approximate by design — recall>=threshold gates
   vs the exact ann_topk (tests/test_similarity.py), which IS oracled.
+- hll_users_per_type: approximate by design — accuracy-gated vs the
+  oracled exact distinct_users_per_type + sketch determinism under
+  repartitioning (tests/test_relational.py).
 - doc_langid / doc_quality / doc_fingerprints: heuristic scores pinned
-  to their frozen scalar specs (tests/test_grouped_text.py).
+  to their frozen scalar specs (tests/test_grouped_text.py); the
+  integer feature counts ARE oracled as doc_quality_counts.
 - media_features / media_frames: decode kernel is a declared sandbox
-  stand-in; plumbing pinned by tests/test_multimodal.py.
+  stand-in; plumbing pinned by tests/test_multimodal.py; the metadata
+  and frame-offset slices ARE oracled (media_meta,
+  media_frame_offsets — DuckDB generate_series reconstruction).
 """
 
 from __future__ import annotations

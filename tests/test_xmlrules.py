@@ -165,3 +165,30 @@ def test_cli_message_with_xml_rules(ray_session, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert '"Hi"' in out and "dc/terms/title" in out
+
+
+def test_workflow_config_registers_xml_types(tmp_path):
+    """The twine.conf `[xslt:<mime>]` analog: workflow TOML registers
+    XML types both inline and via a referenced rules file."""
+    from twine_ray.pipelines.workflow import load_workflow_config
+
+    (tmp_path / "rss_rules.toml").write_text(
+        '[[fields]]\npath = "channel/title"\n'
+        'pred = "http://purl.org/dc/terms/title"\n'
+    )
+    cfg = tmp_path / "twine.toml"
+    cfg.write_text(
+        '[twine_ray]\nworkflow = ["extract", "triples"]\n\n'
+        '[xslt."application/x-rss-test"]\nrules = "rss_rules.toml"\n\n'
+        '[[xslt."application/x-atom-test".fields]]\n'
+        'path = ".//entry/title"\n'
+        'pred = "http://purl.org/dc/terms/title"\n'
+    )
+    try:
+        stages, opts = load_workflow_config(str(cfg))
+        assert stages == ["extract", "triples"]
+        assert "application/x-rss-test" in PROCESSORS
+        assert "application/x-atom-test" in PROCESSORS
+    finally:
+        PROCESSORS.pop("application/x-rss-test", None)
+        PROCESSORS.pop("application/x-atom-test", None)

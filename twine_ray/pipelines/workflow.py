@@ -135,11 +135,36 @@ def load_workflow_config(path: str) -> tuple[list[str], dict]:
 
         [twine_ray.options]
         num_buckets = 32
+
+        # the twine.conf `[xslt:<mime>]` analog — declarative XML
+        # extraction rules registered straight from config (inline, or
+        # rules = "<path.toml>" relative to this file)
+        [xslt."application/rss+xml"]
+        rules = "rss_rules.toml"
+
+        [xslt."application/atom+xml".subject]
+        path = "id"
+        [[xslt."application/atom+xml".fields]]
+        path = ".//entry/title"
+        pred = "http://purl.org/dc/terms/title"
     """
+    import os
     import tomllib
 
     with open(path, "rb") as f:
         cfg = tomllib.load(f)
+
+    for mime, spec in cfg.get("xslt", {}).items():
+        from twine_ray.pipelines.xmlrules import register_xml_type
+
+        if isinstance(spec, dict) and isinstance(spec.get("rules"), str):
+            rule_path = spec["rules"]
+            if not os.path.isabs(rule_path):
+                rule_path = os.path.join(os.path.dirname(path), rule_path)
+            register_xml_type(mime, open(rule_path).read())
+        else:
+            register_xml_type(mime, spec)
+
     section = cfg.get("twine_ray", {})
     return (
         section.get("workflow", DEFAULT_WORKFLOW),
