@@ -199,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": similarity.q_ann_lsh,
         "ann_ivf": similarity.q_ann_ivf,
         "embed_neardup": similarity.q_embed_neardup_ids,
+        "embed_neardup_clusters": similarity.q_embed_neardup_clusters,
+        "doc_split": text.q_doc_split,
         # --- KG pipeline (P/R-gated in tests/; _meta slice is oracled)
         "kg_flagship": kg_flagship,
         "kg_extract": kg_extract,
@@ -573,6 +575,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, FLOOR(j * 10000 + 0.5) / 10000.0 AS jaccard
             FROM p WHERE j >= 0.5
+        """,
+        "doc_split": """
+            -- md5-hex comparison == first-byte comparison (lowercase
+            -- fixed-width hex is lexicographically numeric): 0x00-0xCB
+            -- train, 0xCC-0xE5 val, 0xE6-0xFF test
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < 'cc' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < 'e6' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "embed_neardup_clusters": """
+            -- recursive-CTE closure over the SAME cosine pair set the
+            -- pipeline clusters with distributed connected components
+            WITH v AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+            ),
+            p AS (
+                SELECT x.vec_id AS a, y.vec_id AS b
+                FROM v x JOIN v y ON x.vec_id < y.vec_id
+                WHERE list_cosine_similarity(x.embedding, y.embedding)
+                      >= 0.4
+            ),
+            sym AS (
+                SELECT a, b FROM p UNION SELECT b, a FROM p
+            ),
+            reach AS (
+                WITH RECURSIVE r(n, m) AS (
+                    SELECT a, b FROM sym
+                    UNION
+                    SELECT r.n, s.b FROM r JOIN sym s ON r.m = s.a
+                )
+                SELECT n, m FROM r
+            ),
+            roots AS (
+                SELECT n AS vec_id, MIN(m) AS root FROM (
+                    SELECT n, m FROM reach
+                    UNION
+                    SELECT a AS n, a AS m FROM sym
+                ) GROUP BY n
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(root AS BIGINT) AS cluster_rep,
+                   CAST(c.cnt AS BIGINT) AS n_cluster
+            FROM roots
+            JOIN (SELECT root, COUNT(*) AS cnt FROM roots GROUP BY root) c
+              USING (root)
         """,
         "kg_extract_meta": """
             -- the pages corpus is a pure function of the documents row

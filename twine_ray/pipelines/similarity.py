@@ -348,3 +348,49 @@ def q_ann_ivf(sf_dir: str, k: int = DEFAULT_K, n_lists: int = 16,
         concurrency=pool(8),
     ).to_pandas()
     return _merge_topk(parts, k)
+
+
+def q_embed_neardup_clusters(sf_dir: str, threshold: float = 0.4,
+                             max_id: int = 300):
+    """Near-duplicate CLUSTERS over the embedding pairs: the same
+    distributed connected-components stage the text dedups use, fed by
+    cosine edges — (vec_id, cluster_rep, n_cluster) for members of
+    clusters >= 2.  SQL-oracled via a recursive-CTE closure over the
+    identical pair set (bounded by max_id like q_embed_neardup)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from twine_ray.stages.canon import connected_components
+
+    pairs = q_embed_neardup_ids(sf_dir, threshold=threshold,
+                                max_id=max_id)
+    if isinstance(pairs, pd.DataFrame):
+        pairs_df = pairs
+    else:
+        pairs_df = pairs.to_pandas()
+    if pairs_df.empty:
+        return pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "cluster_rep": pd.Series([], dtype="int64"),
+             "n_cluster": pd.Series([], dtype="int64")}
+        )
+    edges = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "u": [f"{int(a):012d}" for a in pairs_df["a"]],
+                "v": [f"{int(b):012d}" for b in pairs_df["b"]],
+            }
+        )
+    )
+    canon = connected_components(edges)
+
+    def _out(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_id": df["member_key"].astype("int64"),
+                "cluster_rep": df["root"].astype("int64"),
+                "n_cluster": df["n_members"].astype("int64"),
+            }
+        )
+
+    return canon.map_batches(_out, batch_format="pandas")

@@ -236,6 +236,31 @@ def q_quality_filter(sf_dir: str):
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def q_doc_split(sf_dir: str):
+    """Deterministic content-hash train/val/test split — the held-out
+    split assignment a training-data pipeline needs: md5 of the doc id
+    (not row order!) buckets each doc 80/10/10, so the split is stable
+    under any partitioning, re-run, or corpus growth.  First md5 byte:
+    0x00-0xCB train, 0xCC-0xE5 val, 0xE6-0xFF test."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        def split_of(i) -> str:
+            b = hashlib.md5(str(int(i)).encode()).digest()[0]
+            return "train" if b < 0xCC else ("val" if b < 0xE6 else "test")
+
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "split": df["doc_id"].map(split_of),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pandas")
+
+
 def q_doc_fingerprints(sf_dir: str):
     """SimHash + winnowing fingerprint count per doc (rows-only)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
