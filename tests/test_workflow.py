@@ -81,3 +81,36 @@ def test_toml_config(tmp_path):
     stages, opts = load_workflow_config(str(p))
     assert stages == ["extract", "dedup-pages"]
     assert opts["num_buckets"] == 8
+
+
+def test_reference_stage_name_aliases(ray_session):
+    """A migrated twine.conf workflow chain (`sparql-get,spindle-strip,
+    spindle-correlate,spindle-generate`) runs against this engine's
+    stages and equals the native-name chain."""
+    import pandas as pd
+    import ray.data as rd
+
+    from twine_ray.pipelines.kg import default_alias_rows
+    from twine_ray.pipelines.workflow import WorkflowContext, run_workflow
+    from twine_ray.sources.pages import pages_table
+    from twine_ray.sources.world import synth_pages
+
+    rows, _ = synth_pages(16, seed=5, n_entities=40)
+    ctx = WorkflowContext(alias_rows=default_alias_rows(n_entities=40),
+                          concurrency=2)
+    ref = run_workflow(
+        rd.from_arrow(pages_table(rows)),
+        ["extract", "sparql-get", "triples", "spindle-strip",
+         "spindle-correlate", "spindle-generate"],
+        ctx,
+    ).to_pandas()
+    ours = run_workflow(
+        rd.from_arrow(pages_table(rows)),
+        ["extract", "dedup-pages", "triples", "strip",
+         "canonicalize", "resolve"],
+        WorkflowContext(alias_rows=default_alias_rows(n_entities=40),
+                        concurrency=2),
+    ).to_pandas()
+    key = lambda df: set(map(tuple, df[sorted(df.columns)]
+                             .itertuples(index=False, name=None)))
+    assert key(ref) == key(ours) and len(ref) > 0

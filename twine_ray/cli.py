@@ -186,6 +186,15 @@ def cmd_get(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Store maintenance: one sorted file per bucket (VACUUM analog)."""
+    from twine_ray.stages.materialize import compact_store
+
+    _ray_session()
+    print(json.dumps(compact_store(args.store, buckets=args.bucket)))
+    return 0
+
+
 def cmd_workflow(args) -> int:
     import ray.data as rd
 
@@ -246,6 +255,11 @@ def main(argv=None) -> int:
     pu.add_argument("-b", "--bucket", action="append", type=int,
                     help="raw graph bucket id to recompute (repeatable)")
     pu.set_defaults(fn=cmd_update)
+
+    pc_ = sub.add_parser("compact", help="one sorted file per bucket")
+    pc_.add_argument("store")
+    pc_.add_argument("-b", "--bucket", action="append", type=int)
+    pc_.set_defaults(fn=cmd_compact)
 
     pg = sub.add_parser("get", help="fetch a named graph / pattern")
     pg.add_argument("store")

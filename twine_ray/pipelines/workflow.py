@@ -105,6 +105,36 @@ def _builtin_stages() -> None:
 
 _builtin_stages()
 
+
+def _reference_aliases() -> None:
+    """Map the reference's own workflow stage names (the
+    ``[twine] workflow=sparql-get,spindle-strip,spindle-correlate,
+    spindle-generate,sparql-put`` chain of ``twine:libtwine/
+    workflow.c`` / spindle's plugins) onto this engine's stages, so a
+    migrated twine.conf keeps working:
+
+    - ``sparql-get``: fetching the graph's prior state is implicit in
+      batch mode (latest-wins dedup replaces the old-state diff on the
+      write path; incremental mode diffs via signatures) — alias of
+      ``dedup-pages``.
+    - ``spindle-strip``  -> ``strip`` (rulebase predicate whitelist)
+    - ``spindle-correlate`` -> ``canonicalize`` (coreference closure)
+    - ``spindle-generate``  -> ``resolve`` (property resolution into
+      proxy graphs)
+    - ``sparql-put`` -> ``materialize`` (idempotent bucket replace)
+    """
+    for ref, ours in (
+        ("sparql-get", "dedup-pages"),
+        ("spindle-strip", "strip"),
+        ("spindle-correlate", "canonicalize"),
+        ("spindle-generate", "resolve"),
+        ("sparql-put", "materialize"),
+    ):
+        STAGES[ref] = STAGES[ours]
+
+
+_reference_aliases()
+
 # The default chain — the twine.conf workflow= analog.
 DEFAULT_WORKFLOW = [
     "extract", "dedup-pages", "triples", "strip", "canonicalize", "resolve",

@@ -277,6 +277,125 @@ def read_lineage(out_dir: str) -> list[dict]:
     return out
 
 
+COMPACT_NAME = "compact.parquet"
+
+
+def compact_store(store_dir: str, buckets=None) -> dict:
+    """Store maintenance: rewrite each bucket partition to ONE sorted
+    parquet file.  Incremental swaps and salted writes leave several
+    sorted runs per bucket; compaction restores the
+    one-sorted-file-per-bucket layout without touching content.
+
+    One PARALLEL TASK per bucket (read its files, sort by
+    (subj, pred, obj), write) — no shuffle.  Crash-safe protocol per
+    bucket: the compacted file lands atomically as ``compact.parquet``
+    FIRST, then the old run files are unlinked; ``compact.parquet``
+    coexisting with other files therefore always means an interrupted
+    step-2 (every writer that adds new runs replaces the whole bucket
+    dir), so a re-run simply finishes the deletion.  Lineage file/byte
+    counts refresh; content signatures are unchanged by construction
+    (order-independent sums) and are preserved.  Offline maintenance:
+    concurrent readers during the window between write and unlink
+    would double-count — run it like the reference runs VACUUM.
+    """
+    import os
+
+    import ray.data as rd
+
+    dd = ckpt.data_dir(store_dir)
+    items = []
+    if os.path.isdir(dd):
+        for name in sorted(os.listdir(dd)):
+            if not name.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(name.split("=", 1)[1])
+            if buckets is not None and b not in set(buckets):
+                continue
+            items.append({"b": b, "dir": os.path.join(dd, name)})
+    if not items:
+        return {"compacted": [], "skipped": []}
+
+    def _one(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        out = {"b": [], "action": [], "files_before": [], "rows": []}
+        for b, d in zip(df["b"], df["dir"]):
+            names = sorted(
+                f for f in os.listdir(d) if f.endswith(".parquet")
+            )
+            if COMPACT_NAME in names and len(names) > 1:
+                # interrupted prior compaction: the compacted file is
+                # complete (atomic rename); finish deleting the runs
+                for f in names:
+                    if f != COMPACT_NAME:
+                        os.remove(os.path.join(d, f))
+                out["b"].append(int(b))
+                out["action"].append("healed")
+                out["files_before"].append(len(names))
+                out["rows"].append(
+                    pq.read_metadata(
+                        os.path.join(d, COMPACT_NAME)
+                    ).num_rows
+                )
+                continue
+            if len(names) <= 1:
+                out["b"].append(int(b))
+                out["action"].append("skipped")
+                out["files_before"].append(len(names))
+                out["rows"].append(
+                    pq.read_metadata(os.path.join(d, names[0])).num_rows
+                    if names else 0
+                )
+                continue
+            t = pq.read_table(d)
+            import pyarrow.compute as pc_
+
+            idx = pc_.sort_indices(
+                t, sort_keys=[("subj", "ascending"),
+                              ("pred", "ascending"),
+                              ("obj", "ascending")]
+            )
+            t = t.take(idx)
+            tmp = os.path.join(d, f".{COMPACT_NAME}.tmp")
+            pq.write_table(t, tmp)
+            os.replace(tmp, os.path.join(d, COMPACT_NAME))
+            for f in names:
+                os.remove(os.path.join(d, f))
+            out["b"].append(int(b))
+            out["action"].append("compacted")
+            out["files_before"].append(len(names))
+            out["rows"].append(t.num_rows)
+        return pd.DataFrame(out)
+
+    res = (
+        rd.from_items(items, override_num_blocks=len(items))
+        .map_batches(_one, batch_format="pandas", batch_size=1)
+        .take_all()
+    )
+    # refresh lineage file/byte counts (rows + signatures unchanged)
+    recs = {r["bucket"]: r for r in read_lineage(store_dir)}
+    updated = []
+    for r in res:
+        b = int(r["b"])
+        if b in recs and r["action"] in ("compacted", "healed"):
+            part = os.path.join(dd, f"{BUCKET_COL}={b}")
+            sizes = [
+                os.path.getsize(os.path.join(part, f))
+                for f in os.listdir(part) if f.endswith(".parquet")
+            ]
+            recs[b]["files"] = len(sizes)
+            recs[b]["bytes"] = sum(sizes)
+            updated.append(recs[b])
+    if updated:
+        write_lineage(store_dir, updated)
+    return {
+        "compacted": sorted(int(r["b"]) for r in res
+                            if r["action"] == "compacted"),
+        "skipped": sorted(int(r["b"]) for r in res
+                          if r["action"] != "compacted"),
+    }
+
+
 def read_triple_store(out_dir: str):
     """Read the store back (all marked buckets)."""
     import ray.data as rd
