@@ -165,3 +165,45 @@ def test_write_nquads_identical_blocks_no_collision(ray_session, tmp_path):
     man = json.load(open(res["manifest"]))
     assert man["rows"] == 4
     assert sorted(man["files"]) == [f.split("/")[-1] for f in files]
+
+
+def test_geonames_dispatch(ray_session):
+    """text/x-geonames-dump routes through dispatch: url/doc record
+    pairs, graph = <url>/about.rdf, RDF/XML docs with N-Triples
+    fallback, malformed records skipped."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from twine_ray.pipelines.dispatch import (
+        MESSAGES_SCHEMA,
+        dispatch_messages,
+    )
+
+    rdfxml_doc = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/'
+        '22-rdf-syntax-ns#" xmlns:gn="http://www.geonames.org/ontology#">'
+        '<rdf:Description rdf:about="http://sws.geonames.org/1/">'
+        '<gn:name>Earth</gn:name></rdf:Description></rdf:RDF>'
+    )
+    nt_doc = ('<http://sws.geonames.org/2/> '
+              '<http://www.geonames.org/ontology#name> "Mars" .')
+    dump = (
+        "http://sws.geonames.org/1/\n" + rdfxml_doc + "\n"
+        "http://sws.geonames.org/2/\n" + nt_doc + "\n"
+        "http://sws.geonames.org/3/\n" + "<<not rdf at all\n"
+    ).encode()
+    msgs = rd.from_arrow(
+        pa.Table.from_pylist(
+            [{"uri": "http://dump/1", "content_type":
+              "text/x-geonames-dump", "payload": dump}],
+            schema=MESSAGES_SCHEMA,
+        )
+    )
+    triples, counts = dispatch_messages(msgs, {})
+    df = triples.to_pandas()
+    assert counts["text/x-geonames-dump"] == 1
+    assert set(df["graph"]) == {
+        "http://sws.geonames.org/1/about.rdf",
+        "http://sws.geonames.org/2/about.rdf",
+    }
+    assert set(df["obj"]) == {"Earth", "Mars"}

@@ -150,6 +150,41 @@ def _rdfxml_processor(messages_ds, ctx):
 register_processor("application/rdf+xml", _rdfxml_processor)
 
 
+def _geonames_processor(messages_ds, ctx):
+    """GeoNames-style bulk dump (``twine:plug-ins/geonames.c``): the
+    payload alternates URL line / one-line RDF document; each record's
+    graph URI is derived as ``<url>about.rdf`` (the reference's
+    derivation).  Documents are RDF/XML (the GeoNames dump format),
+    with an N-Triples fallback; malformed records log-and-skip."""
+    from twine_ray.sources.nquads import parse_nquads_text
+    from twine_ray.sources.rdfxml import RdfXmlParseError, parse_rdfxml
+    from twine_ray.stages.triples import TRIPLES_SCHEMA
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        rows = []
+        for payload in batch["payload"].to_pylist():
+            lines = (payload or b"").decode(
+                "utf-8", errors="replace"
+            ).split("\n")
+            for i in range(0, len(lines) - 1, 2):
+                url = lines[i].strip()
+                doc = lines[i + 1]
+                if not url:
+                    continue
+                graph = url + ("" if url.endswith("/") else "/") \
+                    + "about.rdf"
+                try:
+                    rows.extend(parse_rdfxml(doc, default_graph=graph))
+                except RdfXmlParseError:
+                    rows.extend(parse_nquads_text(doc, graph))
+        return pa.Table.from_pylist(rows, schema=TRIPLES_SCHEMA)
+
+    return messages_ds.map_batches(_parse, batch_format="pyarrow")
+
+
+register_processor("text/x-geonames-dump", _geonames_processor)
+
+
 def dispatch_messages(messages_ds, ctx: dict | None = None):
     """Route a message Dataset through the per-MIME processors; returns
     (triples Dataset, route_counts dict)."""
