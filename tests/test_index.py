@@ -85,3 +85,30 @@ def test_proxy_index_parallelism_invariant(ray_session):
         .to_pandas().sort_values("subj").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pipeline_write_index(ray_session, tmp_path):
+    """run_kg_pipeline(write_index=True) writes the per-proxy index
+    next to the store, equal to proxy_index over the store content."""
+    import ray.data as rd
+
+    from twine_ray.pipelines.kg import default_alias_rows, run_kg_pipeline
+    from twine_ray.sources.pages import synth_pages_dataset
+    from twine_ray.stages.materialize import read_triple_store
+
+    out = str(tmp_path / "kg")
+    res = run_kg_pipeline(
+        synth_pages_dataset(24, concurrency=2), out,
+        default_alias_rows(), num_buckets=4, concurrency=2,
+        resume=False, write_index=True,
+    )
+    import os
+
+    idx = rd.read_parquet(os.path.join(out, "index")).to_pandas() \
+        .sort_values("subj").reset_index(drop=True)
+    assert res["metrics"]["index_rows"] == len(idx)
+    want = proxy_index_spec(
+        read_triple_store(os.path.join(out, "store"))
+        .drop_columns(["graph_bucket"]).to_pandas()
+    )
+    pd.testing.assert_frame_equal(idx[want.columns.tolist()], want)

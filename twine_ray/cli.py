@@ -44,6 +44,7 @@ def cmd_pages(args) -> int:
     res = run_kg_pipeline(
         pages, args.out, default_alias_rows(),
         num_buckets=args.buckets, resume=not args.no_resume,
+        write_index=args.index,
     )
     print(json.dumps(res["metrics"]))
     return 0
@@ -232,6 +233,9 @@ def main(argv=None) -> int:
     pp.add_argument("--out", required=True)
     pp.add_argument("--buckets", type=int, default=32)
     pp.add_argument("--no-resume", action="store_true")
+    pp.add_argument("--index", action="store_true",
+                    help="also write the per-proxy index (spindle "
+                         "generate analog) to <out>/index")
     pp.set_defaults(fn=cmd_pages)
 
     pm = sub.add_parser("message", help="one message through MIME dispatch")

@@ -210,8 +210,13 @@ def run_kg_pipeline(
     rulebase=DEFAULT_RULEBASE,
     phase2_shuffle: str | None = "HASH_SHUFFLE",
     store_salt: int | str = "auto",
+    write_index: bool = False,
 ) -> dict:
     """Production path: two-phase, resumable (SURVEY.md §4).
+
+    ``write_index=True`` additionally materializes the spindle-style
+    per-proxy index (stages/index.py) to ``<out>/index`` — one extra
+    combiner-backed aggregation pass over the just-written store.
 
     ``store_salt > 1`` spreads each store bucket's resolve reduction
     over that many reducers (skew valve for hot buckets; see
@@ -264,6 +269,26 @@ def run_kg_pipeline(
     t3 = time.perf_counter()
     from twine_ray.stages.materialize import read_lineage
 
+    index_rows = None
+    if write_index:
+        import shutil as _sh
+
+        from twine_ray.stages.index import proxy_index
+        from twine_ray.stages.materialize import read_triple_store
+
+        index_dir = os.path.join(out_dir, "index")
+        _sh.rmtree(index_dir, ignore_errors=True)
+        idx = proxy_index(
+            read_triple_store(store_dir).drop_columns(["graph_bucket"])
+        )
+        idx.write_parquet(index_dir)
+        import pyarrow.parquet as _pq
+
+        index_rows = sum(
+            _pq.read_metadata(os.path.join(index_dir, f)).num_rows
+            for f in os.listdir(index_dir) if f.endswith(".parquet")
+        )
+
     return {
         "raw": phase1,
         "store": phase2,
@@ -282,6 +307,8 @@ def run_kg_pipeline(
             "raw_buckets": len(phase1["buckets"]),
             "store_buckets": len(phase2["buckets"]),
             "store_salt": store_salt,
+            **({"index_rows": index_rows} if index_rows is not None
+               else {}),
         },
         "lineage": {
             "raw": read_lineage(raw_dir),
