@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": relational.q_events_window,
         "latest_event_per_user": relational.q_latest_event_per_user,
         "union_find_orders": relational.q_union_find_orders,
+        "pagerank_orders": relational.q_pagerank_orders,
         "except_diff": relational.q_except,
         "groupby_having": relational.q_groupby_having,
         "running_sum": relational.q_running_sum,
@@ -438,6 +439,52 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "pagerank_orders": """
+            -- integer-arithmetic PageRank, 3 iterations UNROLLED:
+            -- contributions are rank // outdeg (BIGINT), next rank is
+            -- 150000 + (85 * sum) // 100 — order-independent integer
+            -- sums, so the distributed fixpoint hashes identically.
+            WITH e AS (
+                SELECT DISTINCT
+                       'c' || CAST(o_custkey AS VARCHAR) AS u,
+                       'b' || CAST(o_orderkey % 97 AS VARCHAR) AS v
+                FROM orders
+            ),
+            n AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+            d AS (SELECT u, COUNT(*) AS outdeg FROM e GROUP BY u),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+            s1 AS (
+                SELECT e.v AS node, SUM(r0.pr // d.outdeg) AS s
+                FROM e JOIN d USING (u) JOIN r0 ON r0.node = e.u
+                GROUP BY e.v
+            ),
+            r1 AS (
+                SELECT n.node,
+                       CAST(150000 + (85 * COALESCE(s1.s, 0)) // 100
+                            AS BIGINT) AS pr
+                FROM n LEFT JOIN s1 USING (node)
+            ),
+            s2 AS (
+                SELECT e.v AS node, SUM(r1.pr // d.outdeg) AS s
+                FROM e JOIN d USING (u) JOIN r1 ON r1.node = e.u
+                GROUP BY e.v
+            ),
+            r2 AS (
+                SELECT n.node,
+                       CAST(150000 + (85 * COALESCE(s2.s, 0)) // 100
+                            AS BIGINT) AS pr
+                FROM n LEFT JOIN s2 USING (node)
+            ),
+            s3 AS (
+                SELECT e.v AS node, SUM(r2.pr // d.outdeg) AS s
+                FROM e JOIN d USING (u) JOIN r2 ON r2.node = e.u
+                GROUP BY e.v
+            )
+            SELECT n.node,
+                   CAST(150000 + (85 * COALESCE(s3.s, 0)) // 100
+                        AS BIGINT) AS pr
+            FROM n LEFT JOIN s3 USING (node)
         """,
         "union_find_orders": """
             WITH sym AS (

@@ -1077,3 +1077,30 @@ def q_moving_sum(sf_dir: str, window: int = 5):
         )
 
     return bucketed_group_reduce(ev, ["user_id"], _reduce, partial=False)
+
+
+def q_pagerank_orders(sf_dir: str, iters: int = 3):
+    """Integer-arithmetic PageRank (stages/pagerank.py) over the
+    bipartite customer->order-bucket digraph (same graph the
+    union-find query uses, directed).  Deterministic under any
+    partitioning; the DuckDB oracle unrolls the three iterations."""
+    from twine_ray.stages.grouped import bucketed_group_reduce
+    from twine_ray.stages.pagerank import pagerank
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "u": "c" + df["o_custkey"].astype(str),
+                "v": "b" + (df["o_orderkey"] % 97).astype(str),
+            }
+        )
+        return out.drop_duplicates()
+
+    edges = bucketed_group_reduce(
+        orders.map_batches(_edges, batch_format="pandas"),
+        ["u", "v"],
+        lambda df: df.drop_duplicates(),
+    )
+    return pagerank(edges, iters=iters)
