@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": relational.q_latest_event_per_user,
         "union_find_orders": relational.q_union_find_orders,
         "pagerank_orders": relational.q_pagerank_orders,
+        "triangle_count": relational.q_triangle_count,
         "except_diff": relational.q_except,
         "groupby_having": relational.q_groupby_having,
         "running_sum": relational.q_running_sum,
@@ -188,7 +189,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": text.q_doc_quality,
         "doc_quality_counts": text.q_doc_quality_counts,
         "top_tokens": text.q_top_tokens,
+        "top_bigrams": text.q_top_bigrams,
         "quality_filter": text.q_quality_filter,
+        "doc_repetition": text.q_doc_repetition,
+        "repetition_filter": text.q_repetition_filter,
         "doc_fingerprints": text.q_doc_fingerprints,
         # --- dedup family
         "dedup_exact": dedup.q_dedup_exact,
@@ -553,6 +557,78 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) GROUP BY t
             ORDER BY n DESC, t ASC LIMIT 50
+        """,
+        "top_bigrams": """
+            WITH toks AS (
+                SELECT regexp_extract_all(
+                    lower(text), '[\\w]+(''[\\w]+)?') AS l
+                FROM documents
+            ),
+            bg AS (
+                SELECT l[i] || ' ' || l[i+1] AS bigram
+                FROM toks, LATERAL (
+                    SELECT unnest(generate_series(1, len(l)-1)) AS i
+                ) g
+                WHERE len(l) >= 2
+            )
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM bg
+            GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50
+        """,
+        "doc_repetition": """
+            WITH per AS (
+                SELECT doc_id, tok, COUNT(*) AS c FROM (
+                    SELECT doc_id, unnest(regexp_extract_all(
+                        lower(text), '[\\w]+(''[\\w]+)?')) AS tok
+                    FROM documents
+                ) GROUP BY doc_id, tok
+            ),
+            agg AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                       CAST(MAX(c) AS BIGINT) AS max_tok_n
+                FROM per GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.n_distinct, 0) AS n_distinct,
+                   COALESCE(a.max_tok_n, 0) AS max_tok_n
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "repetition_filter": """
+            -- Gopher repetition rules, integer arithmetic: top token
+            -- <= 1/5 of tokens, distinct >= 1/3 of tokens
+            WITH per AS (
+                SELECT doc_id, tok, COUNT(*) AS c FROM (
+                    SELECT doc_id, unnest(regexp_extract_all(
+                        lower(text), '[\\w]+(''[\\w]+)?')) AS tok
+                    FROM documents
+                ) GROUP BY doc_id, tok
+            ),
+            agg AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                       CAST(MAX(c) AS BIGINT) AS max_tok_n
+                FROM per GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, n_distinct, max_tok_n
+            FROM agg
+            WHERE 5 * max_tok_n <= n_tokens
+              AND 3 * n_distinct >= n_tokens
+        """,
+        "triangle_count": """
+            WITH raw AS (
+                SELECT o_orderkey % 1000 AS x,
+                       (o_orderkey * 7 + o_custkey) % 1000 AS y
+                FROM orders
+            ),
+            e AS (
+                SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+                FROM raw WHERE x <> y
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
         """,
         "quality_filter": """
             -- integer-arithmetic C4-style filter (no float ratios):

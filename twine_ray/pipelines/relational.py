@@ -1104,3 +1104,25 @@ def q_pagerank_orders(sf_dir: str, iters: int = 3):
         lambda df: df.drop_duplicates(),
     )
     return pagerank(edges, iters=iters)
+
+
+def q_triangle_count(sf_dir: str):
+    """Triangle count (stages/triangles.py, degree-oriented wedge
+    join) over a deterministic hash-derived undirected graph on the
+    orders table; the DuckDB oracle is the a<b<c three-way self-join,
+    valid because the count is orientation-invariant."""
+    from twine_ray.stages.triangles import triangle_count
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "u": (df["o_orderkey"] % 1000).astype("int64"),
+                "v": ((df["o_orderkey"] * 7 + df["o_custkey"]) % 1000)
+                .astype("int64"),
+            }
+        )
+
+    n = triangle_count(orders.map_batches(_edges, batch_format="pandas"))
+    return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})

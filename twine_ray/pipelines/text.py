@@ -314,3 +314,112 @@ def q_doc_avg_len_by_source(sf_dir: str):
         )
 
     return final.map_batches(_finish, batch_format="pandas")
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition features, INTEGER-only so DuckDB can
+    hash-check them exactly (the float "fraction of duplicate tokens"
+    is derived trivially downstream): per doc the ASCII token count,
+    distinct-token count and the count of the single most frequent
+    token.  Gopher's repetition filters (Rae et al. 2021 §A1.1) drop
+    docs whose duplicate fraction or top-token share exceeds a bound —
+    both are pure functions of these three integers.  One vectorized
+    map_batches; per-doc Counter kernels (inherently per-string, like
+    doc_quality_counts)."""
+    from collections import Counter
+
+    from twine_ray.functions.textnorm import simple_tokens_ascii
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        def stats(text):
+            toks = simple_tokens_ascii((text or "").lower())
+            if not toks:
+                return (0, 0, 0)
+            vc = Counter(toks)
+            return (len(toks), len(vc), max(vc.values()))
+
+        trip = df["text"].map(stats)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": trip.map(lambda t: t[0]).astype("int64"),
+                "n_distinct": trip.map(lambda t: t[1]).astype("int64"),
+                "max_tok_n": trip.map(lambda t: t[2]).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pandas")
+
+
+def q_repetition_filter(sf_dir: str):
+    """The filter built on q_doc_repetition, integer arithmetic only:
+    keep docs where the most frequent token is <= 1/5 of all tokens
+    (5*max_tok_n <= n_tokens) and distinct tokens are >= 1/3 of all
+    tokens (3*n_distinct >= n_tokens) — the Gopher top-token-share and
+    duplicate-fraction rules with exact rational thresholds."""
+    import pyarrow.compute as pc
+
+    ds = q_doc_repetition(sf_dir)
+
+    def _f(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.less_equal(
+                    pc.multiply(t["max_tok_n"], 5), t["n_tokens"]
+                ),
+                pc.greater_equal(
+                    pc.multiply(t["n_distinct"], 3), t["n_tokens"]
+                ),
+            ),
+            # empty docs are dropped (and are absent from the SQL
+            # oracle's token aggregation by construction)
+            pc.greater(t["n_tokens"], 0),
+        )
+        return t.filter(keep)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def q_top_bigrams(sf_dir: str, k: int = 50):
+    """Corpus-wide bigram frequency top-k — same scale shape as
+    q_top_tokens: per-batch Counter partials so only (bigram, n) rows
+    leave the map stage, one vocabulary-scale groupby sum, then
+    sort+limit with a total ordering (n desc, bigram asc) for
+    deterministic ties."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from twine_ray.functions.textnorm import simple_tokens_ascii
+
+    ds = _docs(sf_dir, ["text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        cnt: Counter = Counter()
+        for text in df["text"]:
+            toks = simple_tokens_ascii((text or "").lower())
+            cnt.update(map(" ".join, zip(toks, toks[1:])))
+        return pd.DataFrame(
+            {
+                "bigram": list(cnt.keys()),
+                "n": pd.Series(list(cnt.values()), dtype="int64"),
+            }
+        )
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _fix(df: pd.DataFrame) -> pd.DataFrame:
+        df["n"] = df["n"].astype("int64")
+        return df
+
+    return (
+        counts.map_batches(_fix, batch_format="pandas")
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(k)
+    )

@@ -1,0 +1,167 @@
+"""Distributed triangle counting over an edge Dataset — the graph-
+analytics slot alongside union-find (stages/canon.py) and PageRank
+(stages/pagerank.py).
+
+Scale shape is the standard degree-orientation algorithm (Chiba &
+Nishizeki; the MapReduce form is Suri & Vassilvitskii, WWW'11
+"Counting Triangles and the Curse of the Last Reducer"): orient every
+canonical edge from its lower-(degree, id) endpoint to the higher one,
+generate wedges only from each node's OUT-neighbors (out-degree is
+O(sqrt(E)) under this orientation, so wedge volume is O(E^1.5) instead
+of sum-of-squares over raw degrees — the hub node that would otherwise
+produce deg^2 pairs points its edges outward and produces none), then
+count wedges whose closing edge exists via one hash join.  The count
+is orientation-invariant, which is what makes the simple a<b<c SQL
+self-join a valid oracle for the degree-oriented plan.
+
+Execution:
+
+    edges -> canonicalize (a<b, drop loops) -> distinct (bucketed)
+          -> degree count (bucketed sum over exploded endpoints)
+          -> two hash joins to attach (deg_a, deg_b)
+          -> orient by (deg, id)
+          -> wedge generation: ONE shuffle on src, vectorized
+             self-merge per bucket (pairs of out-neighbors)
+          -> hash join wedges against oriented edges -> count
+
+Everything corpus-scale streams through map_batches / joins; the only
+driver-side value is the final count.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def _canonical_edges(edges_ds):
+    """a = min(u,v), b = max(u,v); drop self-loops; distinct."""
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    def _canon(df: pd.DataFrame) -> pd.DataFrame:
+        u, v = df["u"], df["v"]
+        out = pd.DataFrame({"a": u.where(u <= v, v), "b": v.where(u <= v, u)})
+        return out[out["a"] != out["b"]].drop_duplicates()
+
+    return bucketed_group_reduce(
+        edges_ds.map_batches(_canon, batch_format="pandas"),
+        ["a", "b"],
+        lambda df: df.drop_duplicates(),
+    )
+
+
+def triangle_count(edges_ds) -> int:
+    """Number of triangles in the undirected graph given by an
+    (u, v) edge Dataset (direction/duplicates/self-loops ignored)."""
+    from twine_ray.stages.grouped import (
+        bucketed_group_reduce,
+        default_num_partitions,
+    )
+
+    edges = _canonical_edges(edges_ds).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return 0
+    n_parts = max(2, default_num_partitions(
+        hi=64, rows=n_edges, rows_per_partition=200_000
+    ))
+
+    # degree per node: explode endpoints, bucketed partial sums
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat([df["a"], df["b"]], ignore_index=True)
+        vc = nodes.value_counts()
+        return pd.DataFrame(
+            {"node": vc.index, "deg": vc.to_numpy("int64")}
+        )
+
+    def _sum_deg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False).agg(deg=("deg", "sum"))
+
+    deg = bucketed_group_reduce(
+        edges.map_batches(_explode, batch_format="pandas"),
+        ["node"],
+        _sum_deg,
+        partial=False,
+    ).materialize()
+
+    # attach both endpoint degrees (degree is static -> join once each)
+    def _ren(cols):
+        def f(t):
+            return t.rename_columns(cols)
+        return f
+
+    with_da = edges.repartition(n_parts).join(
+        deg.map_batches(_ren(["na", "deg_a"]), batch_format="pyarrow")
+           .repartition(n_parts),
+        join_type="inner", num_partitions=n_parts,
+        on=("a",), right_on=("na",),
+    )
+    oriented = with_da.join(
+        deg.map_batches(_ren(["nb", "deg_b"]), batch_format="pyarrow")
+           .repartition(n_parts),
+        join_type="inner", num_partitions=n_parts,
+        on=("b",), right_on=("nb",),
+    ).map_batches(_orient, batch_format="pandas")
+
+    # wedges: all ordered pairs of out-neighbors per src (one shuffle;
+    # vectorized self-merge inside each bucket)
+    def _wedges(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="src")
+        lt = (m["dd_x"] < m["dd_y"]) | (
+            (m["dd_x"] == m["dd_y"]) & (m["dst_x"] < m["dst_y"])
+        )
+        m = m[lt]
+        return pd.DataFrame(
+            {
+                "wx": m["dst_x"].to_numpy(),
+                "wy": m["dst_y"].to_numpy(),
+            }
+        )
+
+    # repartition+materialize before joining: map_groups output can
+    # contain empty-schema blocks that break Ray 2.49's hash join
+    # (same quirk documented in stages/canon.py)
+    wedges = bucketed_group_reduce(
+        oriented, ["src"], _wedges, partial=False
+    ).repartition(n_parts).materialize()
+    if wedges.count() == 0:
+        return 0
+
+    # closing edge: wedge (wx, wy) is a triangle iff oriented edge
+    # (src=wx, dst=wy) exists — orientation order is total, so the
+    # closing edge can only be oriented this way
+    closed = wedges.join(
+        oriented.map_batches(
+            lambda t: t.select(["src", "dst"]), batch_format="pyarrow"
+        ).repartition(n_parts),
+        join_type="inner", num_partitions=n_parts,
+        on=("wx", "wy"), right_on=("src", "dst"),
+    )
+    return closed.count()
+
+
+def _orient(df: pd.DataFrame) -> pd.DataFrame:
+    """Point each edge at its higher-(degree, id) endpoint; keep the
+    destination's (degree, id) for the wedge-pair ordering."""
+    a_first = (df["deg_a"] < df["deg_b"]) | (
+        (df["deg_a"] == df["deg_b"]) & (df["a"] < df["b"])
+    )
+    return pd.DataFrame(
+        {
+            "src": df["a"].where(a_first, df["b"]),
+            "dst": df["b"].where(a_first, df["a"]),
+            "dd": df["deg_b"].where(a_first, df["deg_a"]).astype("int64"),
+        }
+    )
+
+
+def triangle_count_spec(edges: list[tuple, ]) -> int:
+    """Driver-side brute-force spec for tests."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = 0
+    for a, b in es:
+        n += len(adj[a] & adj[b])
+    return n // 3
