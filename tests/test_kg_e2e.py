@@ -208,3 +208,21 @@ def test_dup_broadcast_valve_forces_full_shuffle(ray_session, monkeypatch):
     a = set(map(tuple, broadcast[cols].itertuples(index=False, name=None)))
     b = set(map(tuple, routed[cols].itertuples(index=False, name=None)))
     assert a == b and len(routed) == len(broadcast)
+
+
+def test_kg_pr_larger_world(ray_session):
+    """P/R gate at 5x the module corpus (400 pages / 200 entities —
+    the generator's full alias-ambiguity surface): the 0.95 bar must
+    hold as the world grows, not just on the small fixture."""
+    import ray.data as rd
+
+    rows, truths = synth_pages(400, seed=1234, n_entities=200)
+    alias = alias_dict_table(seed=1234, n_entities=200).to_pylist()
+    pages = rd.from_arrow(pages_table(rows))
+    got = triples_df_to_set(
+        kg_triples_dataset(pages, alias, concurrency=2).to_pandas()
+    )
+    want = expected_triples(truths)
+    p, r = precision_recall(got, want)
+    assert p >= 0.95, f"precision {p} on larger world"
+    assert r >= 0.95, f"recall {r} on larger world"
