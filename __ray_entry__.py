@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.q_dedup_minhash,
         "dedup_simhash": dedup.q_dedup_simhash,
         "dedup_jaccard": dedup.q_dedup_jaccard,
+        "decontaminate": dedup.q_decontaminate,
         # --- similarity search
         "ann_topk": similarity.q_ann_topk_ids,
         "ann_lsh": similarity.q_ann_lsh,
@@ -698,6 +699,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, FLOOR(j * 10000 + 0.5) / 10000.0 AS jaccard
             FROM p WHERE j >= 0.5
+        """,
+        "decontaminate": """
+            -- benchmark decontamination: corpus docs sharing any
+            -- 4-word ASCII shingle with the doc_id%20==0 benchmark
+            -- slice; shingle construction matches word_shingles_ascii
+            -- exactly (lower() + [a-zA-Z0-9_]+, <k tokens collapse to
+            -- one whole-text shingle, empty text -> no shingles)
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-zA-Z0-9_]+')
+                           AS toks
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                         WHEN len(toks) < 4
+                             THEN [array_to_string(toks, ' ')]
+                         ELSE list_distinct(
+                             [array_to_string(toks[i:i+3], ' ')
+                              FOR i IN generate_series(1, len(toks) - 3)])
+                    END AS sh
+                FROM t
+            ),
+            bench AS (
+                SELECT DISTINCT unnest(sh) AS s FROM sh
+                WHERE doc_id % 20 = 0
+            ),
+            corpus AS (
+                SELECT doc_id, unnest(sh) AS s FROM sh
+                WHERE doc_id % 20 <> 0
+            )
+            SELECT c.doc_id,
+                   CAST(COUNT(DISTINCT c.s) AS BIGINT) AS n_shared
+            FROM corpus c JOIN bench b ON c.s = b.s
+            GROUP BY c.doc_id
         """,
         "doc_split": """
             -- md5-hex comparison == first-byte comparison (lowercase

@@ -224,3 +224,24 @@ def test_simhash_stage_matches_scalar_spec():
         assert stage.signature(text) == simhash64(text)
 
     check()
+
+
+def test_decontaminate_broadcast_equals_join_fallback(
+    ray_session, sf_dir, monkeypatch
+):
+    """The broadcast membership path and the distributed semi-join
+    fallback must produce identical (doc_id, n_shared) sets; the valve
+    is forced the same way as DUP_BROADCAST_LIMIT's test."""
+    from twine_ray.pipelines import dedup as dd
+
+    a = (
+        dd.q_decontaminate(sf_dir).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    monkeypatch.setattr(dd, "DECONTAM_BROADCAST_LIMIT", 0)
+    b = (
+        dd.q_decontaminate(sf_dir).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.to_dict("records") == b.to_dict("records")
+    assert (a["n_shared"] > 0).all()

@@ -611,3 +611,122 @@ def q_dedup_jaccard(sf_dir: str, threshold: float = 0.5):
         n_parts=default_num_partitions(hi=64, rows=2 * n_pairs,
                                        rows_per_partition=25_000),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/test n-gram overlap)
+
+# Benchmark shingle sets smaller than this are broadcast (ray.put
+# once, membership-checked inside map_batches — zero corpus shuffle);
+# above it the tested distributed semi-join path runs.
+DECONTAM_BROADCAST_LIMIT = 2_000_000
+
+
+def q_decontaminate(sf_dir: str, k: int = 4):
+    """Benchmark decontamination — the GPT-3/PaLM-appendix training-
+    data op: flag every corpus document sharing at least one k-word
+    shingle with a held-out benchmark set (here the deterministic
+    ``doc_id % 20 == 0`` slice of ``documents``; in production the
+    benchmark table is the small side by contract).
+
+    Scale shape: the benchmark side is reduced to its DISTINCT shingle
+    set; under ``DECONTAM_BROADCAST_LIMIT`` that set is broadcast via
+    ``ray.put`` and the 100-TB corpus side streams through ONE
+    map_batches with a per-doc set intersection (no shuffle at all).
+    Above the bound, the corpus's exploded (doc_id, shingle) rows
+    semi-join the benchmark shingles in a distributed hash join and a
+    bucketed count-distinct per doc follows.  Both paths are tested
+    equal (the valve is monkeypatched in tests, mirroring the
+    DUP_BROADCAST_LIMIT test).
+
+    Returns (doc_id, n_shared) for contaminated docs only, where
+    n_shared counts the distinct shared shingles.  ASCII shingles
+    (``word_shingles_ascii``) keep DuckDB-RE2 oracle parity on any
+    corpus.
+    """
+    import ray.data as rd
+
+    from twine_ray.stages.grouped import (
+        bucketed_group_reduce,
+        default_num_partitions,
+    )
+    from twine_ray.state.broadcast import broadcast, resolve
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _bench_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        if "s" in df.columns:
+            return df.drop_duplicates()
+        df = df[df["doc_id"] % 20 == 0]
+        out = sorted(
+            {
+                s
+                for text in df["text"]
+                for s in word_shingles_ascii(text or "", k)
+            }
+        )
+        return pd.DataFrame({"s": pd.Series(out, dtype=str)})
+
+    bench = bucketed_group_reduce(
+        ds, ["s"], _bench_shingles
+    ).materialize()
+    n_bench = bench.count()
+
+    if n_bench <= DECONTAM_BROADCAST_LIMIT:
+        ref = broadcast(
+            frozenset(bench.to_pandas()["s"]) if n_bench else frozenset()
+        )
+
+        def _count(df: pd.DataFrame) -> pd.DataFrame:
+            bset = resolve(ref)
+            rows = df[df["doc_id"] % 20 != 0]
+            shared = rows["text"].map(
+                lambda t: len(word_shingles_ascii(t or "", k) & bset)
+            )
+            out = pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"].to_numpy(),
+                    "n_shared": shared.to_numpy("int64"),
+                }
+            )
+            return out[out["n_shared"] > 0]
+
+        return ds.map_batches(_count, batch_format="pandas")
+
+    # distributed fallback: explode corpus shingles, semi-join bench
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % 20 != 0]
+        ids, shs = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            for s in word_shingles_ascii(text or "", k):
+                ids.append(doc_id)
+                shs.append(s)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "s": pd.Series(shs, dtype=str),
+            }
+        )
+
+    n_parts = max(2, default_num_partitions(
+        hi=32, rows=max(n_bench, 1), rows_per_partition=500_000
+    ))
+    corpus = ds.map_batches(_explode, batch_format="pandas")
+    hits = corpus.repartition(n_parts).join(
+        bench.map_batches(
+            lambda t: t.rename_columns(["bs"]), batch_format="pyarrow"
+        ).repartition(n_parts),
+        join_type="inner", num_partitions=n_parts,
+        on=("s",), right_on=("bs",),
+    )
+
+    def _per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_shared=("s", "nunique")
+        )
+        g["n_shared"] = g["n_shared"].astype("int64")
+        return g
+
+    return bucketed_group_reduce(
+        hits, ["doc_id"], _per_doc, partial=False
+    )
