@@ -618,8 +618,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "triangle_count": """
             WITH raw AS (
-                SELECT o_orderkey % 1000 AS x,
-                       (o_orderkey * 7 + o_custkey) % 1000 AS y
+                SELECT o_orderkey % 5000 AS x,
+                       (o_orderkey * 7 + o_custkey) % 5000 AS y
                 FROM orders
             ),
             e AS (

@@ -1118,8 +1118,8 @@ def q_triangle_count(sf_dir: str):
     def _edges(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "u": (df["o_orderkey"] % 1000).astype("int64"),
-                "v": ((df["o_orderkey"] * 7 + df["o_custkey"]) % 1000)
+                "u": (df["o_orderkey"] % 5000).astype("int64"),
+                "v": ((df["o_orderkey"] * 7 + df["o_custkey"]) % 5000)
                 .astype("int64"),
             }
         )

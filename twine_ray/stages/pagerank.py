@@ -43,9 +43,14 @@ def pagerank(edges_ds, iters: int = 3):
     )
 
     edges = edges_ds.materialize()
+    n_rows = edges.count()
     n_parts = max(2, default_num_partitions(
-        hi=64, rows=edges.count(), rows_per_partition=100_000
+        hi=64, rows=n_rows, rows_per_partition=100_000
     ))
+    # bucket count sized to the data: the map_groups sort exchange
+    # costs ~fixed time PER BUCKET, so 64 buckets on a 100k-edge graph
+    # is pure overhead (same sizing rationale as the LSH band exchange)
+    n_buckets = max(8, min(64, n_rows // 25_000))
 
     # distinct node set (u ∪ v) and out-degrees — one pass each
     def _nodes(df: pd.DataFrame) -> pd.DataFrame:
@@ -57,6 +62,7 @@ def pagerank(edges_ds, iters: int = 3):
         edges, ["node"],
         lambda df: (_nodes(df) if "node" not in df.columns
                     else df.drop_duplicates()),
+        num_buckets=n_buckets,
     ).materialize()
 
     def _deg(df: pd.DataFrame) -> pd.DataFrame:
@@ -66,14 +72,16 @@ def pagerank(edges_ds, iters: int = 3):
             outdeg=("outdeg", "sum")
         )
 
-    outdeg = bucketed_group_reduce(edges, ["u"], _deg).materialize()
+    outdeg = bucketed_group_reduce(
+        edges, ["u"], _deg, num_buckets=n_buckets
+    ).materialize()
 
     # edges ⋈ outdeg once (degree is iteration-invariant)
-    edeg = edges.repartition(n_parts).join(
+    edeg = edges.join(
         outdeg.map_batches(
             lambda t: t.rename_columns(["du", "outdeg"]),
             batch_format="pyarrow",
-        ).repartition(n_parts),
+        ),
         join_type="inner", num_partitions=n_parts,
         on=("u",), right_on=("du",),
     ).map_batches(
@@ -88,11 +96,11 @@ def pagerank(edges_ds, iters: int = 3):
     ).materialize()
 
     for _ in range(iters):
-        contrib = edeg.repartition(n_parts).join(
+        contrib = edeg.join(
             ranks.map_batches(
                 lambda t: t.rename_columns(["rn", "pr"]),
                 batch_format="pyarrow",
-            ).repartition(n_parts),
+            ),
             join_type="inner", num_partitions=n_parts,
             on=("u",), right_on=("rn",),
         ).map_batches(
@@ -109,13 +117,17 @@ def pagerank(edges_ds, iters: int = 3):
         def _sum(df: pd.DataFrame) -> pd.DataFrame:
             return df.groupby("v", as_index=False).agg(c=("c", "sum"))
 
-        sums = bucketed_group_reduce(contrib, ["v"], _sum)
+        sums = bucketed_group_reduce(
+            contrib, ["v"], _sum, num_buckets=n_buckets
+        )
 
-        ranks = nodes.repartition(n_parts).join(
+        # sums comes out of map_groups: repartition+materialize guards
+        # the empty-schema-block join quirk (stages/canon.py)
+        ranks = nodes.join(
             sums.map_batches(
                 lambda t: t.rename_columns(["sv", "c"]),
                 batch_format="pyarrow",
-            ).repartition(n_parts),
+            ).repartition(n_parts).materialize(),
             join_type="left_outer", num_partitions=n_parts,
             on=("node",), right_on=("sv",),
         ).map_batches(

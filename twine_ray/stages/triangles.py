@@ -33,7 +33,7 @@ from __future__ import annotations
 import pandas as pd
 
 
-def _canonical_edges(edges_ds):
+def _canonical_edges(edges_ds, num_buckets: int = 32):
     """a = min(u,v), b = max(u,v); drop self-loops; distinct."""
     from twine_ray.stages.grouped import bucketed_group_reduce
 
@@ -46,6 +46,7 @@ def _canonical_edges(edges_ds):
         edges_ds.map_batches(_canon, batch_format="pandas"),
         ["a", "b"],
         lambda df: df.drop_duplicates(),
+        num_buckets=num_buckets,
     )
 
 
@@ -64,6 +65,11 @@ def triangle_count(edges_ds) -> int:
     n_parts = max(2, default_num_partitions(
         hi=64, rows=n_edges, rows_per_partition=200_000
     ))
+    # edges comes out of map_groups: repartition once so no empty-
+    # schema block reaches a hash join (Ray 2.49 quirk, canon.py)
+    edges = edges.repartition(n_parts).materialize()
+    # bucket count sized to the data (sort exchange costs per bucket)
+    n_buckets = max(8, min(64, n_edges // 25_000))
 
     # degree per node: explode endpoints, bucketed partial sums
     def _explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -81,6 +87,7 @@ def triangle_count(edges_ds) -> int:
         ["node"],
         _sum_deg,
         partial=False,
+        num_buckets=n_buckets,
     ).materialize()
 
     # attach both endpoint degrees (degree is static -> join once each)
@@ -89,15 +96,19 @@ def triangle_count(edges_ds) -> int:
             return t.rename_columns(cols)
         return f
 
-    with_da = edges.repartition(n_parts).join(
-        deg.map_batches(_ren(["na", "deg_a"]), batch_format="pyarrow")
-           .repartition(n_parts),
+    # deg comes out of map_groups: repartition+materialize guards the
+    # empty-schema-block join quirk (stages/canon.py)
+    deg = deg.repartition(n_parts).materialize()
+    with_da = edges.join(
+        deg.map_batches(_ren(["na", "deg_a"]), batch_format="pyarrow"),
         join_type="inner", num_partitions=n_parts,
         on=("a",), right_on=("na",),
     )
+    # join output partitions can be empty-schema blocks too: reblock
+    # before feeding the next join (Ray 2.49 quirk, canon.py)
+    with_da = with_da.repartition(n_parts).materialize()
     oriented = with_da.join(
-        deg.map_batches(_ren(["nb", "deg_b"]), batch_format="pyarrow")
-           .repartition(n_parts),
+        deg.map_batches(_ren(["nb", "deg_b"]), batch_format="pyarrow"),
         join_type="inner", num_partitions=n_parts,
         on=("b",), right_on=("nb",),
     ).map_batches(_orient, batch_format="pandas")
@@ -121,7 +132,8 @@ def triangle_count(edges_ds) -> int:
     # contain empty-schema blocks that break Ray 2.49's hash join
     # (same quirk documented in stages/canon.py)
     wedges = bucketed_group_reduce(
-        oriented, ["src"], _wedges, partial=False
+        oriented, ["src"], _wedges, partial=False,
+        num_buckets=n_buckets,
     ).repartition(n_parts).materialize()
     if wedges.count() == 0:
         return 0
@@ -132,7 +144,7 @@ def triangle_count(edges_ds) -> int:
     closed = wedges.join(
         oriented.map_batches(
             lambda t: t.select(["src", "dst"]), batch_format="pyarrow"
-        ).repartition(n_parts),
+        ),
         join_type="inner", num_partitions=n_parts,
         on=("wx", "wy"), right_on=("src", "dst"),
     )
