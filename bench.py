@@ -171,6 +171,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "median_by_group": relational.q_median_by_group,
         "top_tokens": text.q_top_tokens,
         "hll_users_per_type": relational.q_hll_users_per_type,
+        "pagerank_orders": relational.q_pagerank_orders,
+        "triangle_count": relational.q_triangle_count,
+        "decontaminate": dedup.q_decontaminate,
     }
     out = {}
     for name, fn in picks.items():
