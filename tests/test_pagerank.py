@@ -39,6 +39,19 @@ def test_pagerank_partitioning_invariant(ray_session):
     assert da == db == pagerank_spec(edges, iters=3)
 
 
+def test_pagerank_local_equals_distributed(ray_session):
+    # local_limit=0 forces the multi-exchange distributed path; the
+    # default routes this entity-scale graph through the driver-local
+    # numpy kernel — both must match the scalar spec bit-for-bit,
+    # including duplicate-edge out-degree multiplicity
+    edges = [(f"n{i % 23}", f"n{(i * 5 + 1) % 19}") for i in range(300)]
+    want = pagerank_spec(edges, iters=3)
+    local = pagerank(_edges_ds(edges), iters=3).to_pandas()
+    dist = pagerank(_edges_ds(edges), iters=3, local_limit=0).to_pandas()
+    assert dict(zip(local["node"], local["pr"])) == want
+    assert dict(zip(dist["node"], dist["pr"])) == want
+
+
 def test_pagerank_zero_iters_is_r0(ray_session):
     got = pagerank(_edges_ds([("x", "y")]), iters=0).to_pandas()
     assert set(got["pr"]) == {R0} and set(got["node"]) == {"x", "y"}

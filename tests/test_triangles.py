@@ -27,6 +27,17 @@ def test_known_graphs(ray_session):
     assert triangle_count(_ds(tri_plus_noise)) == 1
 
 
+def test_local_equals_distributed(ray_session):
+    # local_limit=0 forces the join-based distributed path; default
+    # routes through the driver-local degree-oriented kernel
+    edges = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    edges += [(i, (i + 1) % 12) for i in range(12)]
+    want = triangle_count_spec(edges)
+    assert want > 0
+    assert triangle_count(_ds(edges)) == want
+    assert triangle_count(_ds(edges), local_limit=0) == want
+
+
 def test_partitioning_invariant_with_hub(ray_session):
     # star hub 0 + a ring among leaves: hub degree >> leaf degree, so
     # degree orientation points leaf->hub and wedge volume stays small

@@ -30,10 +30,43 @@ BASE = 150_000
 R0 = 1_000_000
 DAMP_NUM, DAMP_DEN = 85, 100
 
+# Below this edge count the whole graph is computed driver-side with
+# one vectorized numpy kernel — the same entity-scale valve as the DSU
+# bound in stages/canon.py (connected_components).  The distributed
+# path costs ~7 Ray exchanges per run regardless of size; on an
+# entity-scale graph (the contract: nodes ≪ corpus) that is pure
+# orchestration.  Integer arithmetic makes the two paths bit-identical
+# (tested equal in tests/test_pagerank.py).
+PAGERANK_LOCAL_LIMIT = 2_000_000
 
-def pagerank(edges_ds, iters: int = 3):
+
+def _pagerank_local(edf: pd.DataFrame, iters: int) -> pd.DataFrame:
+    """Vectorized single-process kernel: factorize node ids, bincount
+    out-degrees, np.add.at for the exact int64 contribution sums."""
+    import numpy as np
+
+    both = pd.concat([edf["u"], edf["v"]], ignore_index=True)
+    codes, uniques = pd.factorize(both)
+    n, m = len(uniques), len(edf)
+    ui = codes[:m].astype(np.int64)
+    vi = codes[m:].astype(np.int64)
+    outdeg = np.bincount(ui, minlength=n).astype(np.int64)
+    r = np.full(n, R0, dtype=np.int64)
+    for _ in range(iters):
+        s = np.zeros(n, dtype=np.int64)
+        if m:
+            np.add.at(s, vi, r[ui] // outdeg[ui])
+        r = BASE + (DAMP_NUM * s) // DAMP_DEN
+    return pd.DataFrame({"node": np.asarray(uniques), "pr": r})
+
+
+def pagerank(edges_ds, iters: int = 3, local_limit: int | None = None):
     """(u, v) edge Dataset -> (node, pr) Dataset after ``iters``
-    integer-PageRank iterations."""
+    integer-PageRank iterations.  Edge multiplicity counts toward
+    out-degree (callers wanting simple-graph semantics dedupe first).
+
+    ``local_limit`` overrides PAGERANK_LOCAL_LIMIT (0 forces the
+    distributed path — used by the equality tests)."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -44,6 +77,11 @@ def pagerank(edges_ds, iters: int = 3):
 
     edges = edges_ds.materialize()
     n_rows = edges.count()
+    limit = PAGERANK_LOCAL_LIMIT if local_limit is None else local_limit
+    if n_rows <= limit:
+        return rd.from_pandas(
+            _pagerank_local(edges.to_pandas(limit=None), iters)
+        )
     n_parts = max(2, default_num_partitions(
         hi=64, rows=n_rows, rows_per_partition=100_000
     ))

@@ -32,6 +32,38 @@ from __future__ import annotations
 
 import pandas as pd
 
+# Below this raw-edge count the count is computed driver-side with the
+# same degree-oriented pandas kernels (no Ray exchanges) — the
+# entity-scale valve pattern of stages/canon.py / stages/pagerank.py.
+# Wedge volume stays O(E^1.5) either way; the two paths are tested
+# equal in tests/test_triangles.py.
+TRIANGLE_LOCAL_LIMIT = 2_000_000
+
+
+def _triangle_count_local(edf: pd.DataFrame) -> int:
+    """Single-process degree-oriented count over one DataFrame —
+    identical canon/orient/wedge/close steps, pandas merges in place
+    of the hash joins."""
+    u, v = edf["u"], edf["v"]
+    df = pd.DataFrame({"a": u.where(u <= v, v), "b": v.where(u <= v, u)})
+    df = df[df["a"] != df["b"]].drop_duplicates()
+    if df.empty:
+        return 0
+    vc = pd.concat([df["a"], df["b"]], ignore_index=True).value_counts()
+    oriented = _orient(df.assign(
+        deg_a=df["a"].map(vc).astype("int64"),
+        deg_b=df["b"].map(vc).astype("int64"),
+    ))
+    m = oriented.merge(oriented, on="src")
+    lt = (m["dd_x"] < m["dd_y"]) | (
+        (m["dd_x"] == m["dd_y"]) & (m["dst_x"] < m["dst_y"])
+    )
+    wedges = m[lt]
+    closed = wedges.merge(
+        oriented, left_on=["dst_x", "dst_y"], right_on=["src", "dst"],
+    )
+    return len(closed)
+
 
 def _canonical_edges(edges_ds, num_buckets: int = 32):
     """a = min(u,v), b = max(u,v); drop self-loops; distinct."""
@@ -50,15 +82,23 @@ def _canonical_edges(edges_ds, num_buckets: int = 32):
     )
 
 
-def triangle_count(edges_ds) -> int:
+def triangle_count(edges_ds, local_limit: int | None = None) -> int:
     """Number of triangles in the undirected graph given by an
-    (u, v) edge Dataset (direction/duplicates/self-loops ignored)."""
+    (u, v) edge Dataset (direction/duplicates/self-loops ignored).
+
+    ``local_limit`` overrides TRIANGLE_LOCAL_LIMIT (0 forces the
+    distributed path — used by the equality tests)."""
     from twine_ray.stages.grouped import (
         bucketed_group_reduce,
         default_num_partitions,
     )
 
-    edges = _canonical_edges(edges_ds).materialize()
+    raw = edges_ds.materialize()
+    limit = TRIANGLE_LOCAL_LIMIT if local_limit is None else local_limit
+    if raw.count() <= limit:
+        return _triangle_count_local(raw.to_pandas(limit=None))
+
+    edges = _canonical_edges(raw).materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return 0
