@@ -422,10 +422,19 @@ def q_union(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _merge_window_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Combiner for the per-batch window partials: integer sums are
+    associative, so partial/combiner re-application is safe."""
+    return df.groupby(["event_type", "window_start"],
+                      as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+    )
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour window counts per event_type (event-log shaped
     groupby; the batch analog of a streaming window)."""
-    from ray.data.aggregate import Sum
+    from twine_ray.stages.grouped import bucketed_group_reduce
 
     ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
@@ -443,9 +452,11 @@ def q_events_window(sf_dir: str):
         )
 
     parts = ev.map_batches(_partial, batch_format="pandas")
-    final = parts.groupby(["event_type", "window_start"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"),
+    # bucketed merge: the Dataset groupby-aggregate costs seconds of
+    # exchange machinery for this window×type-sized result
+    final = bucketed_group_reduce(
+        parts, ["event_type", "window_start"], _merge_window_partials,
+        num_buckets=8,
     )
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -472,7 +483,7 @@ def q_hopping_windows(sf_dir: str, window_min: int = 60,
     groupby merges partials.  Window starts computed in integer
     MICROSECONDS on both sides (the DuckDB oracle uses epoch_us +
     make_timestamp) so timestamps match bit-for-bit."""
-    from ray.data.aggregate import Sum
+    from twine_ray.stages.grouped import bucketed_group_reduce
 
     ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
@@ -503,9 +514,9 @@ def q_hopping_windows(sf_dir: str, window_min: int = 60,
         )
 
     parts = ev.map_batches(_partial, batch_format="pandas")
-    final = parts.groupby(["event_type", "window_start"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"),
+    final = bucketed_group_reduce(
+        parts, ["event_type", "window_start"], _merge_window_partials,
+        num_buckets=8,
     )
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
