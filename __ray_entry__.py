@@ -148,6 +148,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def kg_bgp(sf_dir: str):
+        """SPARQL basic-graph-pattern analog (stages/query.py
+        bgp_match, the Spindle lookup shape): graphs carrying BOTH an
+        English dc:language triple and a dc:title triple on the same
+        subject, joined on (?g, ?s).  Both pattern solutions are pure
+        functions of the documents row, so the two-pattern hash join
+        is SQL-reconstructible."""
+        from twine_ray.stages.query import bgp_match
+        from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
+
+        triples = kg_triples_dataset(
+            pages_from_documents(sf_dir), default_alias_rows()
+        ).materialize()
+        return bgp_match(triples, [
+            ("?g", "?s", DC_LANGUAGE, "en"),
+            ("?g", "?s", DC_TITLE, "?title"),
+        ], select=["g", "title"])
+
     return {
         # --- relational operator coverage (SURVEY.md §2, FIXTURES.md T5)
         "filter_project": relational.q_filter_project,
@@ -215,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_meta": kg_triples_meta,
         "kg_index": kg_index,
         "kg_index_pages": kg_index_pages,
+        "kg_bgp": kg_bgp,
         # --- multimodal plumbing (decode kernel is a declared sandbox
         # stand-in; schema/batching/actor plumbing is real — rows-only)
         "media_features": multimodal.q_media_features,
@@ -870,6 +889,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 4 = 3 THEN 20 ELSE 30 END
                         AS BIGINT) AS score_max
             FROM d
+        """,
+        "kg_bgp": """
+            -- two-pattern BGP join on (?g, ?s): page graphs have
+            -- subj = graph url and carry dc:language when lang <> ''
+            -- and dc:title when the HTML variant (doc_id % 4 != 3)
+            -- emits a <title>; entity proxy graphs emit neither
+            -- predicate, so documents reconstructs the join exactly
+            SELECT 'http://' || COALESCE(NULLIF(source, ''), 'docs')
+                       || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                       AS g,
+                   'Document ' || CAST(doc_id AS VARCHAR)
+                       || ' (' || source || ')' AS title
+            FROM documents
+            WHERE COALESCE(lang, '') = 'en' AND doc_id % 4 <> 3
         """,
         "ann_topk": """
             WITH q AS (

@@ -125,3 +125,121 @@ def test_cli_get(store, ray_session, capsys):
     want = full[(full["graph"] == g) & (full["pred"] == DC_TITLE)]
     assert len(out) == len(want)
     assert all(f"<{g}>" in ln for ln in out)
+
+
+def test_bgp_two_patterns_shared_vars(store, ray_session):
+    """BGP over the store: graphs with BOTH a language and a title
+    triple on the same subject — pandas merge is the expected value."""
+    import pandas as pd
+
+    from twine_ray.stages.query import bgp_match
+    from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
+
+    full = _full(store)
+    got = _canon(bgp_match(store, [
+        ("?g", "?s", DC_LANGUAGE, "?lang"),
+        ("?g", "?s", DC_TITLE, "?title"),
+    ], select=["g", "title", "lang"]).to_pandas())
+
+    lg = full[full["pred"] == DC_LANGUAGE][["graph", "subj", "obj"]] \
+        .rename(columns={"graph": "g", "subj": "s", "obj": "lang"})
+    ti = full[full["pred"] == DC_TITLE][["graph", "subj", "obj"]] \
+        .rename(columns={"graph": "g", "subj": "s", "obj": "title"})
+    want = _canon(lg.merge(ti, on=["g", "s"])[["g", "title", "lang"]])
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bgp_bound_object_and_dataset_source(store, ray_session):
+    """Store-dir and Dataset sources agree; bound object filters."""
+    from twine_ray.stages.materialize import read_triple_store
+    from twine_ray.stages.query import bgp_match
+    from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
+
+    full = _full(store)
+    lang = full[full["pred"] == DC_LANGUAGE]["obj"].iloc[0]
+    pats = [
+        ("?g", "?s", DC_LANGUAGE, lang),
+        ("?g", "?s", DC_TITLE, "?title"),
+    ]
+    a = _canon(bgp_match(store, pats, select=["g", "title"]).to_pandas())
+    ds = read_triple_store(store).drop_columns(["graph_bucket"])
+    b = _canon(bgp_match(ds, pats, select=["g", "title"]).to_pandas())
+    assert a.equals(b)
+    assert len(a) > 0
+
+
+def test_bgp_repeated_var_in_one_pattern(ray_session):
+    """?x in two positions of ONE pattern binds only rows where the
+    columns are equal (page graphs: graph == subj)."""
+    import pandas as pd
+    import ray.data as rd
+
+    rows = pd.DataFrame(
+        {
+            "graph": ["g1", "g1", "g2"],
+            "subj": ["g1", "e9", "g2"],
+            "pred": ["p", "p", "p"],
+            "obj": ["a", "b", "c"],
+            "obj_is_lit": [True] * 3,
+            "obj_dt": [""] * 3,
+            "obj_lang": [""] * 3,
+            "score": [1, 1, 1],
+        }
+    )
+    from twine_ray.stages.query import bgp_match
+
+    got = bgp_match(rd.from_pandas(rows), [("?x", "?x", "p", "?o")])
+    df = got.to_pandas().sort_values("x").reset_index(drop=True)
+    assert list(df["x"]) == ["g1", "g2"]
+    assert list(df["o"]) == ["a", "c"]
+
+
+def test_bgp_cartesian_and_empty(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from twine_ray.stages.query import bgp_match
+
+    rows = pd.DataFrame(
+        {
+            "graph": ["g1", "g2"],
+            "subj": ["s1", "s2"],
+            "pred": ["p", "q"],
+            "obj": ["a", "b"],
+            "obj_is_lit": [True] * 2,
+            "obj_dt": [""] * 2,
+            "obj_lang": [""] * 2,
+            "score": [1, 1],
+        }
+    )
+    ds = rd.from_pandas(rows)
+    # no shared variable -> cartesian product (1 x 1)
+    got = bgp_match(ds, [
+        (None, "?a", "p", None), (None, "?b", "q", None),
+    ]).to_pandas()
+    assert len(got) == 1 and set(got.columns) == {"a", "b"}
+    # unsatisfiable pattern -> empty with the right schema (Ray's
+    # to_pandas drops columns on zero-row datasets, so check schema())
+    got2 = bgp_match(ds, [
+        (None, "?a", "nope", None), (None, "?b", "q", None),
+    ])
+    assert got2.count() == 0 and set(got2.schema().names) == {"a", "b"}
+
+
+def test_cli_bgp(store, ray_session, capsys):
+    from twine_ray.cli import main
+    from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
+
+    full = _full(store)
+    rc = main([
+        "bgp", store,
+        "--pattern", f"?g ?s {DC_LANGUAGE} ?lang",
+        "--pattern", f"?g ?s {DC_TITLE} ?title",
+    ])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0].split("\t") == ["g", "s", "lang", "title"]
+    lg = full[full["pred"] == DC_LANGUAGE]
+    ti = full[full["pred"] == DC_TITLE]
+    want = lg.merge(ti, on=["graph", "subj"])
+    assert len(lines) - 1 == len(want)

@@ -187,6 +187,28 @@ def cmd_get(args) -> int:
     return 0
 
 
+def cmd_bgp(args) -> int:
+    """Basic-graph-pattern query over the store (the Spindle lookup
+    shape): each --pattern is 'graph subj pred obj' with ?variables
+    and _ for don't-care; prints TSV bindings with a header row."""
+    from twine_ray.stages.query import bgp_match
+
+    _ray_session()
+    pats = []
+    for p in args.pattern:
+        terms = [None if t == "_" else t for t in p.split()]
+        if len(terms) not in (3, 4):
+            print(f"bad pattern (need 3 or 4 terms): {p!r}",
+                  file=sys.stderr)
+            return 2
+        pats.append(tuple(terms))
+    df = bgp_match(args.store, pats).to_pandas()
+    print("\t".join(df.columns))
+    for row in df.itertuples(index=False):
+        print("\t".join(str(v) for v in row))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Store maintenance: one sorted file per bucket (VACUUM analog)."""
     from twine_ray.stages.materialize import compact_store
@@ -272,6 +294,14 @@ def main(argv=None) -> int:
     pg.add_argument("--pred")
     pg.add_argument("--obj")
     pg.set_defaults(fn=cmd_get)
+
+    pb = sub.add_parser("bgp", help="basic-graph-pattern query")
+    pb.add_argument("store")
+    pb.add_argument(
+        "--pattern", action="append", required=True,
+        help="'graph subj pred obj' (or 3 terms); ?var binds, _ skips",
+    )
+    pb.set_defaults(fn=cmd_bgp)
 
     pe = sub.add_parser("export", help="dump a triple store to RDF")
     pe.add_argument("store", help="store dir (e.g. <out>/store)")

@@ -123,3 +123,184 @@ def match_triples(store_dir: str, *, graph: str | None = None,
 def read_graph(store_dir: str, graph_uri: str):
     """SPARQL-GET analog: one named graph, file-pruned to its bucket."""
     return match_triples(store_dir, graph=graph_uri)
+
+
+# ---------------------------------------------------------------------------
+# Basic graph patterns (SPARQL BGP analog)
+# ---------------------------------------------------------------------------
+
+_PATTERN_COLS = ("graph", "subj", "pred", "obj")
+
+
+def _parse_pattern(pat):
+    """3-tuple (subj, pred, obj) or 4-tuple (graph, subj, pred, obj);
+    each term is None (don't care), '?name' (variable) or a literal
+    string (bound).  Returns ({col: literal}, {col: varname})."""
+    if len(pat) == 3:
+        pat = (None,) + tuple(pat)
+    if len(pat) != 4:
+        raise ValueError(f"pattern must have 3 or 4 terms: {pat!r}")
+    bound, variables = {}, {}
+    for col, term in zip(_PATTERN_COLS, pat):
+        if term is None:
+            continue
+        if isinstance(term, str) and term.startswith("?"):
+            variables[col] = term[1:]
+        else:
+            bound[col] = term
+    return bound, variables
+
+
+def _pattern_bindings(ds, bound, variables):
+    """Solutions of one pattern over a triples Dataset: filter the
+    bound terms (and intra-pattern repeated-variable equalities),
+    project to one column per distinct variable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    first = {}
+    for col, var in variables.items():
+        first.setdefault(var, col)
+
+    def _fn(t: pa.Table) -> pa.Table:
+        mask = None
+        for col, v in bound.items():
+            m = pc.equal(t[col], v)
+            mask = m if mask is None else pc.and_(mask, m)
+        for col, var in variables.items():
+            if first[var] != col:
+                m = pc.equal(t[col], t[first[var]])
+                mask = m if mask is None else pc.and_(mask, m)
+        if mask is not None:
+            t = t.filter(mask)
+        return pa.table({var: t[col] for var, col in first.items()})
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def bgp_match(source, patterns, select: list[str] | None = None):
+    """SPARQL basic-graph-pattern analog over the triple store — the
+    Spindle lookup-endpoint shape (reference: Twine consumers query
+    the SPARQL store Spindle populates; SURVEY §1.1).
+
+    ``source`` is either a store directory (each pattern becomes its
+    own file/row-group-PRUNED ``match_triples`` scan — bound graphs
+    prune to one bucket, bound terms push into Parquet row-group
+    statistics) or a triples Dataset.  ``patterns`` is a list of 3- or
+    4-tuples with '?var' variables; patterns join on their shared
+    variables (hash joins sized to the data), bag semantics like
+    SPARQL.  Patterns with NO variables act as ASK guards: zero
+    matches empties the result.  Patterns join in the given order —
+    put the most selective pattern first.
+
+    Returns a Dataset of bindings, one column per variable (``select``
+    projects/orders a subset)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from twine_ray.stages.grouped import default_num_partitions
+
+    if not patterns:
+        raise ValueError("bgp_match needs at least one pattern")
+
+    parsed = [_parse_pattern(p) for p in patterns]
+    all_vars: list[str] = []
+    for _, variables in parsed:
+        for v in variables.values():
+            if v not in all_vars:
+                all_vars.append(v)
+    out_vars = all_vars if select is None else list(select)
+    unknown = [v for v in out_vars if v not in all_vars]
+    if unknown:
+        raise ValueError(f"select names unbound variables: {unknown}")
+
+    def _empty():
+        return rd.from_arrow(pa.table(
+            {v: pa.array([], type=pa.string()) for v in out_vars}
+        ))
+
+    def _scan(bound):
+        if isinstance(source, str):
+            return match_triples(source, **bound)
+        return source
+
+    acc = None
+    acc_vars: list[str] = []
+    acc_rows = 0
+    for bound, variables in parsed:
+        binds = _pattern_bindings(_scan(bound), bound, variables)
+        if not variables:  # ASK guard
+            if binds.count() == 0:
+                return _empty()
+            continue
+        binds = binds.materialize()
+        n = binds.count()
+        if n == 0:
+            return _empty()
+        if acc is None:
+            acc, acc_vars, acc_rows = binds, list(dict.fromkeys(
+                variables.values())), n
+            continue
+        shared = [v for v in acc_vars if v in variables.values()]
+        n_parts = max(2, default_num_partitions(
+            hi=32, rows=max(acc_rows, n), rows_per_partition=100_000
+        ))
+        # repartition+materialize: map output can contain empty-schema
+        # blocks that break Ray 2.49's hash join (stages/canon.py)
+        left = acc.repartition(n_parts).materialize()
+        right = binds.repartition(n_parts).materialize()
+        if shared:
+            ren = {v: f"__r_{v}" for v in shared}
+            right = right.map_batches(
+                lambda t, ren=ren: t.rename_columns(
+                    [ren.get(c, c) for c in t.schema.names]
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            joined = left.join(
+                right, join_type="inner", num_partitions=n_parts,
+                on=tuple(shared),
+                right_on=tuple(ren[v] for v in shared),
+            )
+            drop = list(ren.values())
+        else:
+            # no shared variable: cartesian product via a constant key
+            def _const(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "__k", pa.array(np.zeros(len(t), dtype=np.int64))
+                )
+
+            def _const_r(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "__rk", pa.array(np.zeros(len(t), dtype=np.int64))
+                )
+
+            left = left.map_batches(_const, batch_format="pyarrow") \
+                .materialize()
+            right = right.map_batches(_const_r, batch_format="pyarrow") \
+                .materialize()
+            joined = left.join(
+                right, join_type="inner", num_partitions=n_parts,
+                on=("__k",), right_on=("__rk",),
+            )
+            drop = ["__k", "__rk"]
+        acc = joined.map_batches(
+            lambda t, drop=drop: t.drop_columns(
+                [c for c in drop if c in t.schema.names]
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        acc_rows = acc.count()
+        if acc_rows == 0:
+            return _empty()
+        for v in variables.values():
+            if v not in acc_vars:
+                acc_vars.append(v)
+    if acc is None:  # all patterns were ASK guards that matched
+        return rd.from_arrow(pa.table({"ask": pa.array([True])})) \
+            if not out_vars else _empty()
+    return acc.map_batches(
+        lambda t: pa.table({v: t[v] for v in out_vars}),
+        batch_format="pyarrow",
+    )
