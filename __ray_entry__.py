@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_per_type": relational.q_hll_users_per_type,
         "median_by_group": relational.q_median_by_group,
         "moving_sum": relational.q_moving_sum,
+        "event_pivot": relational.q_event_pivot,
         # --- text analysis over documents
         "doc_lang_counts": text.q_doc_lang_counts,
         "doc_nchars": text.q_doc_nchars,
@@ -207,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": text.q_doc_quality,
         "doc_quality_counts": text.q_doc_quality_counts,
         "top_tokens": text.q_top_tokens,
+        "doc_frequency": text.q_doc_frequency,
         "top_bigrams": text.q_top_bigrams,
         "quality_filter": text.q_quality_filter,
         "doc_repetition": text.q_doc_repetition,
@@ -569,6 +571,36 @@ def oracle_sql() -> dict[str, str]:
                        string_split(text, chr(10)), x -> LENGTH(x)))
                        AS max_line_len
             FROM documents
+        """,
+        "doc_frequency": """
+            -- document frequency (distinct docs per token), the
+            -- IDF/inverted-index building block; same RE2 tokenizer
+            -- as top_tokens, dedup per doc before counting
+            WITH per AS (
+                SELECT DISTINCT doc_id, t FROM (
+                    SELECT doc_id, unnest(regexp_extract_all(
+                        lower(text), '[\\w]+(''[\\w]+)?')) AS t
+                    FROM documents
+                )
+            )
+            SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM per GROUP BY t
+            ORDER BY n_docs DESC, t ASC LIMIT 50
+        """,
+        "event_pivot": """
+            SELECT user_id,
+                   COUNT(*) FILTER (WHERE event_type = 'click')
+                       AS n_click,
+                   COUNT(*) FILTER (WHERE event_type = 'error')
+                       AS n_error,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase')
+                       AS n_purchase,
+                   COUNT(*) FILTER (WHERE event_type = 'signup')
+                       AS n_signup,
+                   COUNT(*) FILTER (WHERE event_type = 'view')
+                       AS n_view,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM events GROUP BY user_id
         """,
         "top_tokens": """
             SELECT t AS token, COUNT(*) AS n FROM (

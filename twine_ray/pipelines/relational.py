@@ -1137,3 +1137,40 @@ def q_triangle_count(sf_dir: str):
 
     n = triangle_count(orders.map_batches(_edges, batch_format="pandas"))
     return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(sf_dir: str):
+    """Pivot reshape: one row per user, one count column per event
+    type plus the row total (GROUP BY + FILTER wide form).  Count
+    partials are associative, so the same reduce runs per batch
+    (crosstab over raw events) and per bucket (sum of partials); the
+    fixed type domain keeps the wide schema stable."""
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if "event_type" in df.columns:
+            ct = pd.crosstab(df["user_id"], df["event_type"])
+            ct = ct.reindex(columns=EVENT_TYPES, fill_value=0)
+            out = pd.DataFrame({"user_id": ct.index.to_numpy("int64")})
+            for t, c in zip(EVENT_TYPES, cols):
+                out[c] = ct[t].to_numpy("int64")
+            return out
+        g = df.groupby("user_id", as_index=False)[cols].sum()
+        for c in cols:
+            g[c] = g[c].astype("int64")
+        return g
+
+    out = bucketed_group_reduce(ev, ["user_id"], _reduce, num_buckets=8)
+
+    def _total(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_total"] = sum(df[c] for c in cols)
+        return df
+
+    return out.map_batches(_total, batch_format="pandas")

@@ -423,3 +423,42 @@ def q_top_bigrams(sf_dir: str, k: int = 50):
         .sort(["n", "bigram"], descending=[True, False])
         .limit(k)
     )
+
+
+def q_doc_frequency(sf_dir: str, k: int = 50):
+    """Document frequency top-k — the inverted-index / IDF building
+    block: for each token, the number of DISTINCT documents containing
+    it.  Per-batch: per-doc token SETS (a doc's text lives wholly in
+    one batch, so per-batch distinct-doc counts are exact partials) ->
+    (token, n_docs) rows; one vocabulary-scale groupby sum; sort+limit.
+    Deterministic ties: n_docs desc, token asc."""
+    from ray.data.aggregate import Sum
+
+    from twine_ray.functions.textnorm import simple_tokens_ascii
+
+    ds = _docs(sf_dir, ["text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for text in df["text"]:
+            toks.extend(set(simple_tokens_ascii((text or "").lower())))
+        vc = pd.Series(toks, dtype=object).value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.astype(str), "n_docs": vc.to_numpy("int64")}
+        )
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def _fix(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_docs"] = df["n_docs"].astype("int64")
+        return df
+
+    return (
+        counts.map_batches(_fix, batch_format="pandas")
+        .sort(["n_docs", "token"], descending=[True, False])
+        .limit(k)
+    )
