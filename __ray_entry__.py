@@ -199,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_by_group": relational.q_median_by_group,
         "moving_sum": relational.q_moving_sum,
         "event_pivot": relational.q_event_pivot,
+        "rollup": relational.q_rollup,
+        "percentiles_by_group": relational.q_percentiles_by_group,
         # --- text analysis over documents
         "doc_lang_counts": text.q_doc_lang_counts,
         "doc_nchars": text.q_doc_nchars,
@@ -209,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_counts": text.q_doc_quality_counts,
         "top_tokens": text.q_top_tokens,
         "doc_frequency": text.q_doc_frequency,
+        "keyword_search": text.q_keyword_search,
         "top_bigrams": text.q_top_bigrams,
         "quality_filter": text.q_quality_filter,
         "doc_repetition": text.q_doc_repetition,
@@ -571,6 +574,49 @@ def oracle_sql() -> dict[str, str]:
                        string_split(text, chr(10)), x -> LENGTH(x)))
                        AS max_line_len
             FROM documents
+        """,
+        "rollup": """
+            -- two-level ROLLUP with 'ALL' sentinels (NULL would be a
+            -- hash-parity hazard); micro-int balance sums
+            SELECT COALESCE(r_name, 'ALL') AS r_name,
+                   COALESCE(n_name, 'ALL') AS n_name,
+                   SUM(CAST(ROUND(c_acctbal * 1000000) AS BIGINT))
+                       / 1000000.0 AS sum_bal,
+                   CAST(COUNT(*) AS BIGINT) AS n_custs
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "percentiles_by_group": """
+            SELECT l_returnflag,
+                   quantile_disc(CAST(ROUND(l_quantity * 1000000)
+                       AS BIGINT), 0.25) / 1000000.0 AS p25,
+                   quantile_disc(CAST(ROUND(l_quantity * 1000000)
+                       AS BIGINT), 0.5) / 1000000.0 AS p50,
+                   quantile_disc(CAST(ROUND(l_quantity * 1000000)
+                       AS BIGINT), 0.75) / 1000000.0 AS p75,
+                   quantile_disc(CAST(ROUND(l_quantity * 1000000)
+                       AS BIGINT), 0.9) / 1000000.0 AS p90,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "keyword_search": """
+            -- boolean-AND retrieval ranked by total term frequency
+            WITH t AS (
+                SELECT doc_id, unnest(regexp_extract_all(
+                    lower(text), '[\\w]+(''[\\w]+)?')) AS tok
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                       COUNT(*) FILTER (WHERE tok = 'data') AS n0,
+                       COUNT(*) FILTER (WHERE tok = 'join') AS n1
+                FROM t GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n0 + n1 AS BIGINT) AS n_hits
+            FROM c WHERE n0 > 0 AND n1 > 0
+            ORDER BY n_hits DESC, doc_id ASC LIMIT 20
         """,
         "doc_frequency": """
             -- document frequency (distinct docs per token), the

@@ -1174,3 +1174,105 @@ def q_event_pivot(sf_dir: str):
         return df
 
     return out.map_batches(_total, batch_format="pandas")
+
+
+def q_rollup(sf_dir: str):
+    """Two-level ROLLUP (region -> nation -> grand total) over customer
+    balances: tiny dims (nation x region, 25 rows) closure-shipped per
+    task, micro-int partial sums per batch, ONE bucketed merge of the
+    25 fine groups, then the coarser levels derived from the FINE
+    result (entity-scale by contract — never a second corpus scan).
+    'ALL' sentinel instead of SQL NULL for hash parity."""
+    import numpy as np
+
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "n_name", "r_name"]
+    ]
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.merge(dim, left_on="c_nationkey", right_on="n_nationkey")
+        df = df.assign(
+            bal_u=np.round(df["c_acctbal"].to_numpy() * MICRO)
+            .astype("int64"),
+            n=1,
+        )
+        return df.groupby(["r_name", "n_name"], as_index=False).agg(
+            sum_u=("bal_u", "sum"), n_custs=("n", "sum")
+        )
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["r_name", "n_name"], as_index=False).agg(
+            sum_u=("sum_u", "sum"), n_custs=("n_custs", "sum")
+        )
+
+    fine = bucketed_group_reduce(
+        cust.map_batches(_partial, batch_format="pandas"),
+        ["r_name", "n_name"], _merge, partial=False, num_buckets=4,
+    )
+
+    def _levels(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["r_name", "n_name", "sum_u", "n_custs"]
+        fine_ = df[cols]
+        sub = fine_.groupby("r_name", as_index=False).agg(
+            sum_u=("sum_u", "sum"), n_custs=("n_custs", "sum")
+        ).assign(n_name="ALL")[cols]
+        grand = pd.DataFrame(
+            {
+                "r_name": ["ALL"], "n_name": ["ALL"],
+                "sum_u": [fine_["sum_u"].sum()],
+                "n_custs": [fine_["n_custs"].sum()],
+            }
+        )
+        out = pd.concat([fine_, sub, grand], ignore_index=True)
+        return pd.DataFrame(
+            {
+                "r_name": out["r_name"],
+                "n_name": out["n_name"],
+                "sum_bal": out["sum_u"] / MICRO,
+                "n_custs": out["n_custs"].astype("int64"),
+            }
+        )
+
+    return fine.repartition(1).map_batches(
+        _levels, batch_format="pandas", batch_size=None
+    )
+
+
+def q_percentiles_by_group(sf_dir: str):
+    """Exact per-group discrete quantiles (p25/p50/p75/p90) of
+    l_quantity in the micro-integer domain, using the quantile_disc
+    index rule sorted[ceil(q*n)-1] so values are bit-identical to
+    DuckDB.  Complete key groups co-locate via ONE bucket shuffle."""
+    import math
+
+    import numpy as np
+
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    qs = [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p90", 0.9)]
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        micro = np.rint(df["l_quantity"].to_numpy() * MICRO).astype("int64")
+        out = {"l_returnflag": [], "n_rows": []}
+        for name, _ in qs:
+            out[name] = []
+        for flag, g in df.assign(_m=micro).groupby("l_returnflag",
+                                                   sort=True):
+            arr = np.sort(g["_m"].to_numpy())
+            out["l_returnflag"].append(flag)
+            out["n_rows"].append(len(arr))
+            for name, q in qs:
+                out[name].append(arr[math.ceil(q * len(arr)) - 1] / MICRO)
+        out["n_rows"] = pd.Series(out["n_rows"], dtype="int64")
+        cols = ["l_returnflag"] + [n for n, _ in qs] + ["n_rows"]
+        return pd.DataFrame(out)[cols]
+
+    return bucketed_group_reduce(li, ["l_returnflag"], _reduce,
+                                 partial=False)

@@ -462,3 +462,39 @@ def q_doc_frequency(sf_dir: str, k: int = 50):
         .sort(["n_docs", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+def q_keyword_search(sf_dir: str, terms=("data", "join"), k: int = 20):
+    """Boolean-AND retrieval ranked by total term frequency: documents
+    containing ALL query terms, ranked n_hits desc / doc_id asc, top-k
+    — the inverted-index query shape run as one streaming scan (the
+    index build itself is q_doc_frequency).  Integer counts, ASCII
+    tokenizer: bit-parity with the DuckDB FILTER-count oracle."""
+    from collections import Counter
+
+    import numpy as np
+
+    from twine_ray.functions.textnorm import simple_tokens_ascii
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    term_list = list(terms)
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros((len(df), len(term_list)), dtype="int64")
+        for i, text in enumerate(df["text"]):
+            c = Counter(simple_tokens_ascii((text or "").lower()))
+            for j, t in enumerate(term_list):
+                counts[i, j] = c.get(t, 0)
+        mask = (counts > 0).all(axis=1)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[mask],
+                "n_hits": counts.sum(axis=1)[mask],
+            }
+        )
+
+    return (
+        ds.map_batches(_f, batch_format="pandas")
+        .sort(["n_hits", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
