@@ -201,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pivot": relational.q_event_pivot,
         "rollup": relational.q_rollup,
         "percentiles_by_group": relational.q_percentiles_by_group,
+        "string_agg_nations": relational.q_string_agg_nations,
+        "order_share": relational.q_order_share,
         # --- text analysis over documents
         "doc_lang_counts": text.q_doc_lang_counts,
         "doc_nchars": text.q_doc_nchars,
@@ -574,6 +576,28 @@ def oracle_sql() -> dict[str, str]:
                        string_split(text, chr(10)), x -> LENGTH(x)))
                        AS max_line_len
             FROM documents
+        """,
+        "string_agg_nations": """
+            SELECT r_name,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                   CAST(COUNT(*) AS BIGINT) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "order_share": """
+            -- ratio-to-group-total window fn in integer per-mille
+            WITH u AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(ROUND(o_totalprice * 1000000) AS BIGINT)
+                           AS price_u
+                FROM orders
+            )
+            SELECT o_orderkey, o_custkey,
+                   CAST(price_u * 1000 // CAST(SUM(price_u)
+                       OVER (PARTITION BY o_custkey) AS BIGINT)
+                       AS BIGINT) AS share_pm
+            FROM u
+            ORDER BY share_pm DESC, o_orderkey ASC LIMIT 1000
         """,
         "rollup": """
             -- two-level ROLLUP with 'ALL' sentinels (NULL would be a

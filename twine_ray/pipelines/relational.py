@@ -1276,3 +1276,71 @@ def q_percentiles_by_group(sf_dir: str):
 
     return bucketed_group_reduce(li, ["l_returnflag"], _reduce,
                                  partial=False)
+
+
+def q_string_agg_nations(sf_dir: str):
+    """collect_list/string_agg analog: per region, the comma-joined
+    alphabetical list of its nation names plus the count — ordered
+    aggregation semantics (ORDER BY inside the aggregate), entity-scale
+    dims, one bucket shuffle."""
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    nat = _read(sf_dir, "nation", ["n_name", "n_regionkey"])
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rmap = dict(zip(reg["r_regionkey"], reg["r_name"]))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "r_name": df["n_regionkey"].map(rmap),
+                "n_name": df["n_name"],
+            }
+        )
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values("n_name").groupby("r_name", as_index=False)
+        out = g.agg(nations=("n_name", ",".join),
+                    n_nations=("n_name", "size"))
+        out["n_nations"] = out["n_nations"].astype("int64")
+        return out
+
+    return bucketed_group_reduce(
+        nat.map_batches(_partial, batch_format="pandas"),
+        ["r_name"], _reduce, partial=False, num_buckets=4,
+    )
+
+
+def q_order_share(sf_dir: str):
+    """Ratio-to-group-total window function (SUM OVER PARTITION BY):
+    each order's per-mille share of its customer's total spend, in
+    INTEGER arithmetic (share_pm = o_price_u * 1000 // cust_total_u)
+    so partial sums and the division are bit-deterministic.  Complete
+    customer groups co-locate via ONE bucket shuffle; top-1000 rows by
+    (share_pm desc, o_orderkey) keep the result bounded."""
+    import numpy as np
+
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        # NOT associative — needs complete customer groups
+        # (partial=False at the call site).
+        price_u = np.round(df["o_totalprice"].to_numpy() * MICRO) \
+            .astype("int64")
+        df = df.assign(price_u=price_u)
+        tot = df.groupby("o_custkey", sort=False)["price_u"] \
+            .transform("sum")
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "o_custkey": df["o_custkey"].astype("int64"),
+                "share_pm": (df["price_u"] * 1000 // tot).astype("int64"),
+            }
+        )
+
+    shares = bucketed_group_reduce(orders, ["o_custkey"], _reduce,
+                                   partial=False)
+    return shares.sort(["share_pm", "o_orderkey"],
+                       descending=[True, False]).limit(1000)
