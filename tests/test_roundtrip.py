@@ -14,6 +14,7 @@ from hypothesis import strategies as st
 
 from twine_ray.sources.nquads import parse_nquads_text, triple_row_to_nquad
 from twine_ray.sources.rdfxml import parse_rdfxml, triples_to_rdfxml
+from twine_ray.sources.jsonld import parse_jsonld, triples_to_jsonld
 from twine_ray.sources.turtle import parse_turtle, triples_to_turtle
 
 _iri = st.from_regex(r"http://e\.org/[a-z0-9]{1,8}", fullmatch=True)
@@ -83,6 +84,9 @@ def test_three_serializer_roundtrip_equality(rows):
     xml = triples_to_rdfxml(rows)
     assert _key_set(parse_rdfxml(xml)) == want
 
+    jl = triples_to_jsonld(rows)
+    assert _key_set(parse_jsonld(jl)) == want
+
 
 @settings(max_examples=60, deadline=None)
 @given(_rows())
@@ -95,7 +99,8 @@ def test_cross_serializer_chain(rows):
     t3 = parse_nquads_text(
         "\n".join(triple_row_to_nquad(r) for r in t2)
     )
-    assert _key_set(t3) == want
+    t4 = parse_jsonld(triples_to_jsonld(t3))
+    assert _key_set(t4) == want
 
 
 # --- relative-IRI resolution (@base / xml:base) -------------------------

@@ -161,6 +161,10 @@ def cmd_export(args) -> int:
         from twine_ray.sources.rdfxml import triples_to_rdfxml
 
         text = triples_to_rdfxml(rows)
+    elif fmt == "jsonld":
+        from twine_ray.sources.jsonld import triples_to_jsonld
+
+        text = triples_to_jsonld(rows)
     else:
         print(f"error: unknown format {fmt!r}", file=sys.stderr)
         return 2
@@ -306,7 +310,8 @@ def main(argv=None) -> int:
     pe = sub.add_parser("export", help="dump a triple store to RDF")
     pe.add_argument("store", help="store dir (e.g. <out>/store)")
     pe.add_argument("--format", default="nquads",
-                    choices=["nquads", "turtle", "trig", "rdfxml"])
+                    choices=["nquads", "turtle", "trig", "rdfxml",
+                             "jsonld"])
     pe.add_argument("--out", required=True,
                     help="output dir (nquads) or file (other formats)")
     pe.set_defaults(fn=cmd_export)

@@ -150,6 +150,29 @@ def _rdfxml_processor(messages_ds, ctx):
 register_processor("application/rdf+xml", _rdfxml_processor)
 
 
+def _jsonld_processor(messages_ds, ctx):
+    """JSON-LD payload -> parsed triples (graph = message uri);
+    malformed documents skipped per message like the Turtle path."""
+    from twine_ray.sources.jsonld import JsonLdParseError, parse_jsonld
+    from twine_ray.stages.triples import TRIPLES_SCHEMA
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        rows = []
+        for uri, payload in zip(
+            batch["uri"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            try:
+                rows.extend(parse_jsonld(payload or b"", default_graph=uri))
+            except JsonLdParseError:
+                continue
+        return pa.Table.from_pylist(rows, schema=TRIPLES_SCHEMA)
+
+    return messages_ds.map_batches(_parse, batch_format="pyarrow")
+
+
+register_processor("application/ld+json", _jsonld_processor)
+
+
 def _geonames_processor(messages_ds, ctx):
     """GeoNames-style bulk dump (``twine:plug-ins/geonames.c``): the
     payload alternates URL line / one-line RDF document; each record's
