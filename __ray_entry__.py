@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": text.q_top_tokens,
         "doc_frequency": text.q_doc_frequency,
         "keyword_search": text.q_keyword_search,
+        "tfidf_top": text.q_tfidf_top,
         "top_bigrams": text.q_top_bigrams,
         "quality_filter": text.q_quality_filter,
         "doc_repetition": text.q_doc_repetition,
@@ -624,6 +625,25 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT), 0.9) / 1000000.0 AS p90,
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "tfidf_top": """
+            -- integer-scaled tf-idf: tf * N // df (log-free fixed
+            -- point; same tokenizer as top_tokens)
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(
+                    lower(text), '[\\w]+(''[\\w]+)?')) AS t
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, t, COUNT(*) AS tf
+                FROM tok GROUP BY doc_id, t
+            ),
+            df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+            n AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT tf.doc_id, tf.t AS token,
+                   CAST(tf.tf * n.n // df.df AS BIGINT) AS score
+            FROM tf CROSS JOIN n JOIN df ON tf.t = df.t
+            ORDER BY score DESC, tf.doc_id ASC, token ASC LIMIT 50
         """,
         "keyword_search": """
             -- boolean-AND retrieval ranked by total term frequency

@@ -498,3 +498,58 @@ def q_keyword_search(sf_dir: str, terms=("data", "join"), k: int = 20):
         .sort(["n_hits", "doc_id"], descending=[True, False])
         .limit(k)
     )
+
+
+def q_tfidf_top(sf_dir: str, k: int = 50):
+    """Integer-scaled TF-IDF ranking: score = tf * N // df per
+    (doc, token) — the log-free fixed-point variant (log-based idf is
+    a float-parity hazard; monotone in the same direction for fixed
+    tf).  ONE token-keyed exchange computes df AND the scores: each
+    (doc, token) pair exists exactly once globally (a doc's text lives
+    wholly in one batch), so within a complete token group df is just
+    the group size — no separate df join or vocabulary broadcast.
+    Deterministic top-k: score desc, doc_id asc, token asc."""
+    import numpy as np
+
+    from twine_ray.functions.textnorm import simple_tokens_ascii
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def _tf(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, toks, tfs = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            vc = pd.Series(
+                simple_tokens_ascii((text or "").lower()), dtype=object
+            ).value_counts()
+            doc_ids.extend([doc_id] * len(vc))
+            toks.extend(vc.index)
+            tfs.extend(vc.to_numpy("int64"))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "token": pd.Series(toks, dtype=object).astype(str),
+                "tf": pd.Series(tfs, dtype="int64"),
+            }
+        )
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        # complete token groups: df(token) = group size
+        dfreq = df.groupby("token", sort=False)["doc_id"] \
+            .transform("size").to_numpy("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy("int64"),
+                "token": df["token"],
+                "score": (df["tf"].to_numpy("int64") * np.int64(n_docs)
+                          // dfreq),
+            }
+        )
+
+    scored = bucketed_group_reduce(
+        ds.map_batches(_tf, batch_format="pandas"),
+        ["token"], _score, partial=False,
+    )
+    return scored.sort(["score", "doc_id", "token"],
+                       descending=[True, False, False]).limit(k)
