@@ -206,3 +206,73 @@ def test_read_jsonld_bulk(ray_session, tmp_path):
     df = ds.to_pandas().sort_values("subj").reset_index(drop=True)
     assert list(df["subj"]) == [f"http://e.org/s{i}" for i in range(3)]
     assert set(df["graph"]) == {"http://g.org/"}
+
+
+# --- totality fuzz: parse never raises anything but JsonLdParseError ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_json_scalars = st.one_of(
+    st.none(), st.booleans(), st.integers(-10**6, 10**6),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=12),
+)
+_json_vals = st.recursive(
+    _json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(
+            st.one_of(
+                st.sampled_from(
+                    ["@id", "@type", "@value", "@language", "@graph",
+                     "@context", "@list", "@set", "@vocab", "@base",
+                     "p", "ex:q", "http://p.org/ns#r"]
+                ),
+                st.text(max_size=8),
+            ),
+            children, max_size=4,
+        ),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=250, deadline=None)
+@given(_json_vals)
+def test_parse_total_over_arbitrary_json(v):
+    """Any JSON value either parses to rows or raises exactly
+    JsonLdParseError (the dispatch log-and-skip contract catches only
+    that type)."""
+    try:
+        rows = parse_jsonld(json.dumps(v))
+    except JsonLdParseError:
+        return
+    for r in rows:
+        assert set(r) == {"graph", "subj", "pred", "obj", "obj_is_lit",
+                          "obj_dt", "obj_lang", "score"}
+        assert isinstance(r["obj"], str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=80))
+def test_parse_total_over_text(s):
+    try:
+        parse_jsonld(s)
+    except JsonLdParseError:
+        pass
+
+
+def test_non_string_context_values_raise():
+    """Type confusion in @context must surface as JsonLdParseError,
+    not AttributeError/TypeError (fuzz-hardening regression cases)."""
+    for doc in [
+        {"@context": {"@language": 5}, "@id": "http://e/s",
+         "http://p/a": "x"},
+        {"@context": {"@vocab": 7}, "@id": "http://e/s", "plain": "y"},
+        {"@context": {"@base": 3}, "@id": "rel", "http://p/a": "x"},
+        {"@context": {"p": {"@id": 5}}, "@id": "http://e/s", "p:a": "x"},
+        {"@list": ["a node object cannot be a list object"]},
+    ]:
+        with pytest.raises(JsonLdParseError):
+            parse_jsonld(json.dumps(doc))

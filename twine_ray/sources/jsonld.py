@@ -79,13 +79,19 @@ def _apply_context(ctx: _Ctx, cx) -> _Ctx:
     if not isinstance(cx, dict):
         raise JsonLdParseError(f"bad @context: {cx!r}")
     ctx = ctx.child()
+
+    def _str(v, what):
+        if not (v is None or isinstance(v, str)):
+            raise JsonLdParseError(f"{what} must be a string: {v!r}")
+        return v
+
     for k, v in cx.items():
         if k == "@vocab":
-            ctx.vocab = v
+            ctx.vocab = _str(v, "@vocab")
         elif k == "@base":
-            ctx.base = v
+            ctx.base = _str(v, "@base")
         elif k == "@language":
-            ctx.language = (v or "").lower()
+            ctx.language = (_str(v, "@language") or "").lower()
         elif k.startswith("@"):
             raise JsonLdParseError(f"unsupported context keyword {k!r}")
         elif isinstance(v, str):
@@ -96,8 +102,10 @@ def _apply_context(ctx: _Ctx, cx) -> _Ctx:
                 raise JsonLdParseError(
                     f"unsupported term-definition keys {sorted(bad)}"
                 )
-            if "@id" not in v:
-                raise JsonLdParseError(f"term {k!r} definition needs @id")
+            if not isinstance(v.get("@id"), str):
+                raise JsonLdParseError(
+                    f"term {k!r} definition needs a string @id"
+                )
             ctx.terms[k] = {"id": v["@id"], "type": v.get("@type")}
         elif v is None:
             ctx.terms.pop(k, None)
@@ -169,7 +177,7 @@ class _Parser:
             raise JsonLdParseError(f"node object expected, got {obj!r}")
         if "@context" in obj:
             ctx = _apply_context(ctx, obj["@context"])
-        if "@value" in obj:
+        if "@value" in obj or "@list" in obj or "@set" in obj:
             raise JsonLdParseError("value object where a node is required")
         bad = set(obj) & _UNSUPPORTED
         if bad:
