@@ -203,6 +203,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles_by_group": relational.q_percentiles_by_group,
         "string_agg_nations": relational.q_string_agg_nations,
         "order_share": relational.q_order_share,
+        "event_gaps": relational.q_event_gaps,
+        "rank_dense": relational.q_rank_dense,
+        "cube_agg": relational.q_cube_agg,
+        "semi_join_bloom": relational.q_semi_join_bloom,
         # --- text analysis over documents
         "doc_lang_counts": text.q_doc_lang_counts,
         "doc_nchars": text.q_doc_nchars,
@@ -599,6 +603,49 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS share_pm
             FROM u
             ORDER BY share_pm DESC, o_orderkey ASC LIMIT 1000
+        """,
+        "event_gaps": """
+            -- LAG analog: per-user microsecond inter-event gap,
+            -- -1 sentinel for first events (NULL is a hash hazard)
+            SELECT event_id, user_id,
+                   COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                   ), -1) AS gap_us
+            FROM events
+        """,
+        "rank_dense": """
+            -- RANK() with ties (vs topk_per_group's row_number);
+            -- micro-int balances so the ordering is bit-deterministic
+            SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   bal_rank
+            FROM (
+                SELECT c_custkey, c_nationkey,
+                       RANK() OVER (
+                           PARTITION BY c_nationkey
+                           ORDER BY CAST(ROUND(c_acctbal * 1000000)
+                                         AS BIGINT) DESC
+                       ) AS bal_rank
+                FROM customer
+            ) WHERE bal_rank <= 5
+        """,
+        "cube_agg": """
+            -- four grouping sets with 'ALL' sentinels (see rollup)
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   SUM(CAST(ROUND(l_quantity * 1000000) AS BIGINT))
+                       / 1000000.0 AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "semi_join_bloom": """
+            -- the Bloom prefilter is invisible to the result: exact
+            -- semi join (false positives die in the verify join)
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_custkey IN (
+                SELECT o_custkey FROM orders WHERE o_totalprice > 480000
+            )
         """,
         "rollup": """
             -- two-level ROLLUP with 'ALL' sentinels (NULL would be a

@@ -170,3 +170,30 @@ def test_batched_minhash_equals_scalar_spec():
     for i, t in enumerate(texts):
         scalar = minhash_signature(word_shingles(t), stage.a, stage.b)
         assert np.array_equal(batched[i], scalar), i
+
+
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=200),
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=50),
+)
+@settings(max_examples=50, deadline=None)
+def test_bloom_no_false_negatives_and_merge(members, probes):
+    from twine_ray.functions.sketch import (
+        bloom_bits,
+        bloom_merge,
+        bloom_might_contain,
+    )
+
+    half = len(members) // 2
+    merged = bloom_merge(
+        bloom_bits(members[:half]), bloom_bits(members[half:])
+    )
+    assert np.array_equal(merged, bloom_bits(members))  # OR-assoc build
+    if members:
+        assert bloom_might_contain(merged, members).all()  # no FNs
+    miss = [p for p in probes if p not in set(members)]
+    if miss:
+        # FPR sanity at tiny load: essentially everything absent must
+        # test negative when the bitmap holds <=200 of 131072 bits*4
+        hits = bloom_might_contain(merged, miss).sum()
+        assert hits <= max(1, len(miss) // 10)

@@ -31,6 +31,8 @@ SUBSET = [
     "string_ops",
     "groupby_having",
     "join_multi",
+    "event_gaps",
+    "semi_join_bloom",
 ]
 
 

@@ -64,3 +64,60 @@ def hll_estimate(regs: np.ndarray) -> float:
     if e <= 2.5 * M and zeros > 0:
         return float(M * np.log(M / zeros))
     return float(e)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter over int64 keys (Bloom 1970) — the join-prefilter sketch.
+#
+# Same distribution contract as the HLL above: per-batch partial bitmaps
+# built vectorized, merged with elementwise OR (associative+commutative,
+# so partials combine under any partitioning and only fixed-size bitmap
+# rows shuffle).  Hashing is splitmix64 finalization (public constant
+# mixer, Steele/Lea/Flatt 2014) — pure uint64 numpy arithmetic, so the
+# bitmap is bit-identical across processes with no Python-hash seed
+# dependence.  k hash probes are derived by double hashing
+# (Kirsch–Mitzenmacher 2006): h_i = h1 + i*h2 mod m.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 17  # 16 KiB packed; ~1% FPR at ~11k keys with k=4
+BLOOM_K = 4
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) \
+        .astype(np.uint64)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) \
+        .astype(np.uint64)
+    return (x ^ (x >> np.uint64(31))).astype(np.uint64)
+
+
+def _bloom_probes(values, m: int, k: int):
+    """(k, n) int64 array of bit indices for each value."""
+    v = np.asarray(values, dtype=np.int64).astype(np.uint64)
+    h1 = _splitmix64(v)
+    h2 = _splitmix64(v ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m)) \
+        .astype(np.int64)
+
+
+def bloom_bits(values, m: int = BLOOM_BITS, k: int = BLOOM_K) -> np.ndarray:
+    """Packed uint8[m/8] bitmap with every value's k probe bits set."""
+    bits = np.zeros(m, dtype=bool)
+    if len(values):
+        bits[_bloom_probes(values, m, k).ravel()] = True
+    return np.packbits(bits)
+
+
+def bloom_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.bitwise_or(a, b)
+
+
+def bloom_might_contain(packed: np.ndarray, values,
+                        m: int = BLOOM_BITS, k: int = BLOOM_K) -> np.ndarray:
+    """bool[n] — False is definite; True may be a false positive."""
+    if len(values) == 0:
+        return np.zeros(0, dtype=bool)
+    bits = np.unpackbits(packed)
+    return bits[_bloom_probes(values, m, k)].all(axis=0).astype(bool)

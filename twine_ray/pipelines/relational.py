@@ -1344,3 +1344,220 @@ def q_order_share(sf_dir: str):
                                    partial=False)
     return shares.sort(["share_pm", "o_orderkey"],
                        descending=[True, False]).limit(1000)
+
+
+def q_event_gaps(sf_dir: str):
+    """LAG window analog: per-user microsecond gap since the previous
+    event (ordered by ts, event_id); -1 sentinel for each user's first
+    event (SQL NULL is a hash-parity hazard).  Complete user groups
+    co-locate via ONE bucket shuffle, then the lag is a vectorized
+    int64 diff — the same exchange shape as running_sum/moving_sum."""
+    import numpy as np
+
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        # NOT associative — needs complete user groups (partial=False).
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        uid = df["user_id"].to_numpy()
+        gap = np.empty(len(df), dtype="int64")
+        if len(df):
+            gap[0] = -1
+            d = np.diff(us)
+            same = uid[1:] == uid[:-1]
+            gap[1:] = np.where(same, d, -1)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64").values,
+                "user_id": df["user_id"].astype("int64").values,
+                "gap_us": gap,
+            }
+        )
+
+    return bucketed_group_reduce(ev, ["user_id"], _reduce, partial=False)
+
+
+def q_rank_dense(sf_dir: str):
+    """RANK() with tie semantics (vs topk_per_group's row_number):
+    customers ranked within their nation by account balance desc, ties
+    sharing a rank, kept through rank <= 5 — so tie groups straddling
+    the cutoff survive whole.  Balances compare in micro-ints for bit
+    parity; complete nation groups co-locate via ONE bucket shuffle."""
+    import numpy as np
+
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        bal_u = np.round(df["c_acctbal"].to_numpy() * MICRO) \
+            .astype("int64")
+        df = df.assign(bal_u=bal_u)
+        rank = df.groupby("c_nationkey", sort=False)["bal_u"] \
+            .rank(method="min", ascending=False).astype("int64")
+        out = pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].astype("int64"),
+                "c_nationkey": df["c_nationkey"].astype("int64"),
+                "bal_rank": rank,
+            }
+        )
+        return out[out["bal_rank"] <= 5]
+
+    return bucketed_group_reduce(cust, ["c_nationkey"], _reduce,
+                                 partial=False)
+
+
+def q_cube_agg(sf_dir: str):
+    """CUBE(l_returnflag, l_linestatus) — all four grouping sets with
+    'ALL' sentinels, completing the grouping-sets family next to
+    ROLLUP.  Micro-int partial sums per batch, ONE bucketed merge of
+    the ~6 fine groups, and every coarser level derived from the FINE
+    result (entity-scale by contract; the corpus is scanned once)."""
+    import numpy as np
+
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            qty_u=np.round(df["l_quantity"].to_numpy() * MICRO)
+            .astype("int64"),
+            n=1,
+        )
+        return df.groupby(["l_returnflag", "l_linestatus"],
+                          as_index=False).agg(
+            qty_u=("qty_u", "sum"), n_items=("n", "sum")
+        )
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l_returnflag", "l_linestatus"],
+                          as_index=False).agg(
+            qty_u=("qty_u", "sum"), n_items=("n_items", "sum")
+        )
+
+    fine = bucketed_group_reduce(
+        li.map_batches(_partial, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"], _merge, partial=False,
+        num_buckets=4,
+    )
+
+    def _levels(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["l_returnflag", "l_linestatus", "qty_u", "n_items"]
+        fine_ = df[cols]
+        by_flag = fine_.groupby("l_returnflag", as_index=False).agg(
+            qty_u=("qty_u", "sum"), n_items=("n_items", "sum")
+        ).assign(l_linestatus="ALL")[cols]
+        by_status = fine_.groupby("l_linestatus", as_index=False).agg(
+            qty_u=("qty_u", "sum"), n_items=("n_items", "sum")
+        ).assign(l_returnflag="ALL")[cols]
+        grand = pd.DataFrame(
+            {
+                "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                "qty_u": [fine_["qty_u"].sum()],
+                "n_items": [fine_["n_items"].sum()],
+            }
+        )
+        out = pd.concat([fine_, by_flag, by_status, grand],
+                        ignore_index=True)
+        return pd.DataFrame(
+            {
+                "l_returnflag": out["l_returnflag"],
+                "l_linestatus": out["l_linestatus"],
+                "sum_qty": out["qty_u"] / MICRO,
+                "n_items": out["n_items"].astype("int64"),
+            }
+        )
+
+    return fine.repartition(1).map_batches(
+        _levels, batch_format="pandas", batch_size=None
+    )
+
+
+def q_semi_join_bloom(sf_dir: str):
+    """Bloom-prefiltered semi join (the 100-TB shuffle-reduction
+    pattern): customers with at least one order above 480k.  The build
+    side's custkeys fold into per-batch Bloom bitmaps (functions/
+    sketch.py, splitmix64 double hashing) OR-merged through ONE
+    single-group reduce — only 16 KiB bitmap rows ever move.  The
+    probe side drops definite non-members BEFORE the exact hash join
+    verifies survivors, so at scale the expensive exchange sees only
+    matches + the ~1% false-positive trickle.  Result is EXACT (Bloom
+    false positives are eliminated by the join), hence SQL-oracled."""
+    import numpy as np
+    import ray.data as rd
+
+    from twine_ray.functions.sketch import (
+        bloom_bits,
+        bloom_merge,
+        bloom_might_contain,
+    )
+    from twine_ray.stages.grouped import (
+        bucketed_group_reduce,
+        default_num_partitions,
+    )
+    from twine_ray.state.broadcast import broadcast, resolve
+
+    keys = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater(t["o_totalprice"], 480_000.0)
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+
+    def _bloom(df: pd.DataFrame) -> pd.DataFrame:
+        if "bits" in df.columns:
+            acc = None
+            for blob in df["bits"]:
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                acc = arr.copy() if acc is None else bloom_merge(acc, arr)
+            return pd.DataFrame({"g": [0], "bits": [acc.tobytes()]})
+        return pd.DataFrame(
+            {"g": [0],
+             "bits": [bloom_bits(df["o_custkey"].to_numpy()).tobytes()]}
+        )
+
+    bitmap_row = bucketed_group_reduce(
+        keys, ["g"], _bloom, num_buckets=1
+    ).take_all()  # exactly one 16 KiB row by construction
+    bloom_ref = broadcast(
+        np.frombuffer(bitmap_row[0]["bits"], dtype=np.uint8)
+    )
+
+    class _BloomFilter:
+        def __init__(self, ref) -> None:
+            self.bits = resolve(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = bloom_might_contain(
+                self.bits, t["c_custkey"].to_numpy()
+            )
+            return t.filter(pa.array(keep))
+
+    survivors = _read(
+        sf_dir, "customer", ["c_custkey", "c_acctbal"]
+    ).map_batches(
+        _BloomFilter, fn_constructor_kwargs={"ref": bloom_ref},
+        batch_format="pyarrow", concurrency=pool(8),
+    )
+
+    dedup_keys = bucketed_group_reduce(
+        keys, ["o_custkey"], lambda df: df.drop_duplicates(),
+        num_buckets=8,
+    )
+    n_parts = default_num_partitions(hi=16, rows=10_000)
+    joined = survivors.repartition(n_parts).materialize().join(
+        dedup_keys.repartition(n_parts).materialize(),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+    return joined.select_columns(["c_custkey", "c_acctbal"])
