@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_dense": relational.q_rank_dense,
         "cube_agg": relational.q_cube_agg,
         "semi_join_bloom": relational.q_semi_join_bloom,
+        "reachable": relational.q_reachable,
         # --- text analysis over documents
         "doc_lang_counts": text.q_doc_lang_counts,
         "doc_nchars": text.q_doc_nchars,
@@ -219,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_frequency": text.q_doc_frequency,
         "keyword_search": text.q_keyword_search,
         "tfidf_top": text.q_tfidf_top,
+        "pii_redact": text.q_pii_redact,
         "top_bigrams": text.q_top_bigrams,
         "quality_filter": text.q_quality_filter,
         "doc_repetition": text.q_doc_repetition,
@@ -603,6 +605,55 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS share_pm
             FROM u
             ORDER BY share_pm DESC, o_orderkey ASC LIMIT 1000
+        """,
+        "reachable": """
+            -- depth-bounded transitive closure (property-path analog);
+            -- min depth per node from seed 0, <=3 hops
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT o_orderkey % 1000 AS u,
+                       (o_orderkey * 7 + o_custkey) % 1000 AS v
+                FROM orders
+            ), r AS (
+                SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d
+                UNION ALL
+                SELECT e.v, r.d + 1 FROM r JOIN e ON e.u = r.node
+                WHERE r.d < 3
+            )
+            SELECT node, MIN(d) AS min_depth FROM r GROUP BY node
+        """,
+        "pii_redact": """
+            -- PII scrub parity: deterministic injection (emails into
+            -- every 3rd doc, IPs into every 2nd), then redact emails
+            -- BEFORE IPs — patterns mirror text.PII_EMAIL_PAT/IP_PAT
+            WITH aug AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0 THEN
+                            ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com' ELSE '' END
+                       || CASE WHEN doc_id % 2 = 0 THEN
+                            ' from 10.' || CAST(doc_id % 223 AS VARCHAR)
+                            || '.0.' || CAST(doc_id % 251 AS VARCHAR)
+                          ELSE '' END AS t
+                FROM documents
+            ), r1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                       )) AS BIGINT) AS n_emails,
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM aug
+            )
+            SELECT doc_id, n_emails,
+                   CAST(len(regexp_extract_all(t1,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'
+                   )) AS BIGINT) AS n_ips,
+                   regexp_replace(t1,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IP>', 'g') AS clean_text
+            FROM r1
         """,
         "event_gaps": """
             -- LAG analog: per-user microsecond inter-event gap,

@@ -1,0 +1,58 @@
+"""BFS reachability (stages/bfs.py): distributed == local == scalar
+spec, depth bounding, and frontier-exhaustion early stop."""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+from twine_ray.stages.bfs import bfs_reachable, bfs_spec
+
+
+def _edges_ds(edges, parts=None):
+    df = pd.DataFrame(edges, columns=["u", "v"])
+    ds = rd.from_pandas(df)
+    return ds.repartition(parts) if parts else ds
+
+
+def _as_dict(ds):
+    df = ds.to_pandas()
+    return dict(zip(df["node"], df["min_depth"]))
+
+
+def test_bfs_min_depth_and_bound(ray_session):
+    # diamond + chain: d reachable at 2 via two paths, f cut by bound
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    want = bfs_spec(edges, [0], 3)
+    assert want == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+    assert _as_dict(bfs_reachable(_edges_ds(edges), [0], 3)) == want
+
+
+def test_bfs_local_equals_distributed(ray_session):
+    edges = sorted(
+        {(i % 37, (i * 11 + 3) % 37) for i in range(400)}
+    )
+    want = bfs_spec(edges, [0, 5], 3)
+    local = _as_dict(bfs_reachable(_edges_ds(edges), [0, 5], 3))
+    dist = _as_dict(
+        bfs_reachable(_edges_ds(edges, parts=7), [0, 5], 3,
+                      local_limit=0)
+    )
+    assert local == want
+    assert dist == want
+
+
+def test_bfs_cycle_terminates_with_min_depth(ray_session):
+    edges = [(0, 1), (1, 2), (2, 0)]
+    want = {0: 0, 1: 1, 2: 2}
+    assert bfs_spec(edges, [0], 5) == want
+    assert _as_dict(bfs_reachable(_edges_ds(edges), [0], 5)) == want
+    assert _as_dict(
+        bfs_reachable(_edges_ds(edges), [0], 5, local_limit=0)
+    ) == want
+
+
+def test_bfs_unreachable_component_excluded(ray_session):
+    edges = [(0, 1), (7, 8)]
+    got = _as_dict(bfs_reachable(_edges_ds(edges), [0], 3))
+    assert got == {0: 0, 1: 1}

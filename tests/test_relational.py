@@ -33,6 +33,7 @@ SUBSET = [
     "join_multi",
     "event_gaps",
     "semi_join_bloom",
+    "reachable",
 ]
 
 

@@ -1561,3 +1561,31 @@ def q_semi_join_bloom(sf_dir: str):
         on=("c_custkey",), right_on=("o_custkey",),
     )
     return joined.select_columns(["c_custkey", "c_acctbal"])
+
+
+def q_reachable(sf_dir: str):
+    """Bounded property-path closure (stages/bfs.py, the SPARQL
+    ``p{,3}`` analog): every node within 3 hops of node 0 in the
+    deterministic orders digraph, with its minimum depth.  The DuckDB
+    oracle is the depth-bounded recursive CTE — valid because the
+    operator's per-level dedup + final min-depth reduce computes
+    exactly the CTE's MIN(d) GROUP BY node."""
+    from twine_ray.stages.bfs import bfs_reachable
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "u": (df["o_orderkey"] % 1000).astype("int64"),
+                "v": ((df["o_orderkey"] * 7 + df["o_custkey"]) % 1000)
+                .astype("int64"),
+            }
+        ).drop_duplicates()
+
+    edges = bucketed_group_reduce(
+        orders.map_batches(_edges, batch_format="pandas"),
+        ["u", "v"], lambda df: df.drop_duplicates(),
+    )
+    return bfs_reachable(edges, [0], max_depth=3)

@@ -553,3 +553,59 @@ def q_tfidf_top(sf_dir: str, k: int = 50):
     )
     return scored.sort(["score", "doc_id", "token"],
                        descending=[True, False, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data hygiene pass)
+# ---------------------------------------------------------------------------
+
+# ASCII-only patterns chosen for bit-parity between Python re and
+# DuckDB's RE2: plain character classes, \d and \b behave identically
+# on ASCII input.  Kept in sync with the literals in
+# __ray_entry__.oracle_sql()["pii_redact"].
+PII_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_PAT = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrub: count and redact emails then IPv4 literals per
+    document.  The corpus is synthetic word soup with no PII, so both
+    sides first inject deterministic PII derived from doc_id (emails
+    into every 3rd doc, IPs into every 2nd) — the redaction kernel
+    then runs on identical inputs and the cleaned TEXT itself is
+    hash-checked, not just the counts.  Redaction order (emails
+    before IPs) is part of the spec: IP counting sees the
+    email-redacted string on both sides.  Vectorized pandas str
+    kernels; compiled patterns shipped once via the closure."""
+    import numpy as np
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _scrub(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        email = np.where(
+            ids % 3 == 0,
+            " contact user" + ids.astype(str) + "@example.com",
+            "",
+        )
+        ip = np.where(
+            ids % 2 == 0,
+            " from 10." + (ids % 223).astype(str) + ".0."
+            + (ids % 251).astype(str),
+            "",
+        )
+        aug = df["text"].astype(str) + email + ip
+        n_emails = aug.str.count(PII_EMAIL_PAT).astype("int64")
+        t1 = aug.str.replace(PII_EMAIL_PAT, "<EMAIL>", regex=True)
+        n_ips = t1.str.count(PII_IP_PAT).astype("int64")
+        clean = t1.str.replace(PII_IP_PAT, "<IP>", regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_emails": n_emails,
+                "n_ips": n_ips,
+                "clean_text": clean,
+            }
+        )
+
+    return ds.map_batches(_scrub, batch_format="pandas")
