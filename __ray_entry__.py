@@ -166,6 +166,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ("?g", "?s", DC_TITLE, "?title"),
         ], select=["g", "title"])
 
+    def kg_bgp_optional(sf_dir: str):
+        """SPARQL OPTIONAL analog (bgp_match left-outer path): every
+        graph with a dc:language triple, optionally joined to its
+        dc:title on the same (?g, ?s).  Pages whose HTML variant emits
+        no <title> (doc_id % 4 == 3) keep ONE solution row with a null
+        title — coalesced to '' on both sides because NULL is a
+        value-hash hazard in the driver compare (see event_gaps)."""
+        import pyarrow.compute as pc
+
+        from twine_ray.stages.query import bgp_match
+        from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
+
+        triples = kg_triples_dataset(
+            pages_from_documents(sf_dir), default_alias_rows()
+        ).materialize()
+        res = bgp_match(triples, [
+            ("?g", "?s", DC_LANGUAGE, "?lang"),
+        ], optional=[
+            ("?g", "?s", DC_TITLE, "?title"),
+        ], select=["g", "lang", "title"])
+        return res.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("title"), "title",
+                pc.fill_null(t["title"], ""),
+            ),
+            batch_format="pyarrow",
+        )
+
     return {
         # --- relational operator coverage (SURVEY.md §2, FIXTURES.md T5)
         "filter_project": relational.q_filter_project,
@@ -248,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_index": kg_index,
         "kg_index_pages": kg_index_pages,
         "kg_bgp": kg_bgp,
+        "kg_bgp_optional": kg_bgp_optional,
         # --- multimodal plumbing (decode kernel is a declared sandbox
         # stand-in; schema/batching/actor plumbing is real — rows-only)
         "media_features": multimodal.q_media_features,
@@ -1123,6 +1152,21 @@ def oracle_sql() -> dict[str, str]:
                        || ' (' || source || ')' AS title
             FROM documents
             WHERE COALESCE(lang, '') = 'en' AND doc_id % 4 <> 3
+        """,
+        "kg_bgp_optional": """
+            -- OPTIONAL (left-join) BGP: every graph carrying
+            -- dc:language (lang <> ''), left-joined to its dc:title;
+            -- the no-<title> HTML variant (doc_id % 4 = 3) keeps its
+            -- solution with title coalesced to ''
+            SELECT 'http://' || COALESCE(NULLIF(source, ''), 'docs')
+                       || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                       AS g,
+                   lang,
+                   CASE WHEN doc_id % 4 = 3 THEN ''
+                        ELSE 'Document ' || CAST(doc_id AS VARCHAR)
+                             || ' (' || source || ')' END AS title
+            FROM documents
+            WHERE COALESCE(lang, '') <> ''
         """,
         "ann_topk": """
             WITH q AS (

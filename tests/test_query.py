@@ -226,6 +226,132 @@ def test_bgp_cartesian_and_empty(ray_session):
     assert got2.count() == 0 and set(got2.schema().names) == {"a", "b"}
 
 
+def _triples_ds(rows):
+    import pandas as pd
+    import ray.data as rd
+
+    n = len(rows["graph"])
+    rows.setdefault("obj_is_lit", [True] * n)
+    rows.setdefault("obj_dt", [""] * n)
+    rows.setdefault("obj_lang", [""] * n)
+    rows.setdefault("score", [1] * n)
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_bgp_optional_left_join(ray_session):
+    """OPTIONAL semantics on a hand-built graph: matched solutions
+    carry the optional bindings, unmatched keep ONE row with nulls,
+    and m optional matches multiply the solution m times."""
+    ds = _triples_ds({
+        "graph": ["g"] * 6,
+        "subj":  ["s1", "s2", "s3", "s1", "s3", "s3"],
+        "pred":  ["lang", "lang", "lang", "title", "title", "title"],
+        "obj":   ["en", "fr", "en", "T1", "T3a", "T3b"],
+    })
+    from twine_ray.stages.query import bgp_match
+
+    got = bgp_match(
+        ds, [(None, "?s", "lang", "?lang")],
+        optional=[(None, "?s", "title", "?title")],
+    ).to_pandas().sort_values(["s", "title"]).reset_index(drop=True)
+    assert list(got["s"]) == ["s1", "s2", "s3", "s3"]
+    assert list(got["lang"]) == ["en", "fr", "en", "en"]
+    assert got["title"].iloc[0] == "T1"
+    assert got["title"].isna().iloc[1]  # s2: no title -> null, row kept
+    assert sorted(got["title"].iloc[2:4]) == ["T3a", "T3b"]
+
+
+def test_bgp_optional_no_match_anywhere(ray_session):
+    """An optional pattern matching NOTHING still appends its new
+    variables as all-null string columns."""
+    ds = _triples_ds({
+        "graph": ["g"], "subj": ["s1"], "pred": ["lang"], "obj": ["en"],
+    })
+    from twine_ray.stages.query import bgp_match
+
+    got = bgp_match(
+        ds, [(None, "?s", "lang", "?lang")],
+        optional=[(None, "?s", "nope", "?x")],
+    )
+    assert set(got.schema().names) == {"s", "lang", "x"}
+    df = got.to_pandas()
+    assert len(df) == 1 and df["x"].isna().all()
+
+
+def test_bgp_optional_equals_pandas_left_merge(store, ray_session):
+    """Store-backed parity: required lang pattern + optional title
+    pattern equals a pandas left merge over the raw store."""
+    import pandas as pd
+
+    from twine_ray.stages.query import bgp_match
+    from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
+
+    full = _full(store)
+    got = _canon(bgp_match(store, [
+        ("?g", "?s", DC_LANGUAGE, "?lang"),
+    ], optional=[
+        ("?g", "?s", DC_TITLE, "?title"),
+    ], select=["g", "lang", "title"]).to_pandas())
+
+    lg = full[full["pred"] == DC_LANGUAGE][["graph", "subj", "obj"]] \
+        .rename(columns={"graph": "g", "subj": "s", "obj": "lang"})
+    ti = full[full["pred"] == DC_TITLE][["graph", "subj", "obj"]] \
+        .rename(columns={"graph": "g", "subj": "s", "obj": "title"})
+    want = _canon(
+        lg.merge(ti, on=["g", "s"], how="left")[["g", "lang", "title"]]
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the ASK no-op: adding a var-free optional guard changes nothing
+    got2 = _canon(bgp_match(store, [
+        ("?g", "?s", DC_LANGUAGE, "?lang"),
+    ], optional=[
+        ("?g", "?s", DC_TITLE, "?title"),
+        (None, None, "nonexistent-pred", None),
+    ], select=["g", "lang", "title"]).to_pandas())
+    pd.testing.assert_frame_equal(got2, want)
+
+
+def test_bgp_ask_guard(ray_session):
+    """A MATCHING variable-free pattern is a satisfied ASK guard and
+    must NOT empty the result (regression: the zero-column projection
+    counted 0 rows even on a match); a failing guard empties it."""
+    ds = _triples_ds({
+        "graph": ["g", "g"],
+        "subj": ["s1", "s2"],
+        "pred": ["lang", "lang"],
+        "obj": ["en", "fr"],
+    })
+    from twine_ray.stages.query import bgp_match
+
+    got = bgp_match(ds, [
+        (None, "s1", "lang", "en"),  # satisfied guard
+        (None, "?s", "lang", "?l"),
+    ]).to_pandas()
+    assert sorted(got["s"]) == ["s1", "s2"]
+    got2 = bgp_match(ds, [
+        (None, "s1", "lang", "de"),  # failing guard
+        (None, "?s", "lang", "?l"),
+    ])
+    assert got2.count() == 0
+    # all patterns ASK guards, all satisfied -> single ask=True row
+    got3 = bgp_match(ds, [(None, "s1", "lang", "en")]).to_pandas()
+    assert list(got3.columns) == ["ask"] and bool(got3["ask"].iloc[0])
+
+
+def test_bgp_optional_errors(ray_session):
+    ds = _triples_ds({
+        "graph": ["g"], "subj": ["s1"], "pred": ["lang"], "obj": ["en"],
+    })
+    from twine_ray.stages.query import bgp_match
+
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_match(ds, [(None, "?s", "lang", None)],
+                  optional=[(None, "?other", "title", "?t")])
+    with pytest.raises(ValueError, match="non-ASK"):
+        bgp_match(ds, [(None, "s1", "lang", "en")],
+                  optional=[(None, "?s", "title", "?t")])
+
+
 def test_cli_bgp(store, ray_session, capsys):
     from twine_ray.cli import main
     from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE

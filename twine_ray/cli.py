@@ -198,15 +198,24 @@ def cmd_bgp(args) -> int:
     from twine_ray.stages.query import bgp_match
 
     _ray_session()
-    pats = []
-    for p in args.pattern:
-        terms = [None if t == "_" else t for t in p.split()]
-        if len(terms) not in (3, 4):
-            print(f"bad pattern (need 3 or 4 terms): {p!r}",
-                  file=sys.stderr)
-            return 2
-        pats.append(tuple(terms))
-    df = bgp_match(args.store, pats).to_pandas()
+
+    def _parse(raw):
+        out = []
+        for p in raw:
+            terms = [None if t == "_" else t for t in p.split()]
+            if len(terms) not in (3, 4):
+                raise ValueError(p)
+            out.append(tuple(terms))
+        return out
+
+    try:
+        pats = _parse(args.pattern)
+        opts = _parse(args.optional or [])
+    except ValueError as e:
+        print(f"bad pattern (need 3 or 4 terms): {e.args[0]!r}",
+              file=sys.stderr)
+        return 2
+    df = bgp_match(args.store, pats, optional=opts).to_pandas()
     print("\t".join(df.columns))
     for row in df.itertuples(index=False):
         print("\t".join(str(v) for v in row))
@@ -304,6 +313,11 @@ def main(argv=None) -> int:
     pb.add_argument(
         "--pattern", action="append", required=True,
         help="'graph subj pred obj' (or 3 terms); ?var binds, _ skips",
+    )
+    pb.add_argument(
+        "--optional", action="append",
+        help="OPTIONAL pattern (left-join; unmatched solutions keep "
+             "nulls for its new variables)",
     )
     pb.set_defaults(fn=cmd_bgp)
 

@@ -173,12 +173,36 @@ def _pattern_bindings(ds, bound, variables):
                 mask = m if mask is None else pc.and_(mask, m)
         if mask is not None:
             t = t.filter(mask)
+        if not first:
+            # ASK guard (no variables): a zero-column table counts 0
+            # rows even when the filter matched — emit a marker column
+            # so ``count()`` reflects the number of matches
+            return pa.table({"__ask": pa.array([True] * len(t))})
         return pa.table({var: t[col] for var, col in first.items()})
 
     return ds.map_batches(_fn, batch_format="pyarrow")
 
 
-def bgp_match(source, patterns, select: list[str] | None = None):
+def _with_null_vars(t, names):
+    """Ensure every name is a string column of ``t``; absent names are
+    appended as all-null, null-typed ones (a left-outer join block with
+    no matches) are cast to string so block schemas unify."""
+    import pyarrow as pa
+
+    for v in names:
+        if v in t.schema.names:
+            col = t[v]
+            if pa.types.is_null(col.type):
+                t = t.set_column(
+                    t.schema.get_field_index(v), v, col.cast(pa.string())
+                )
+        else:
+            t = t.append_column(v, pa.nulls(len(t), type=pa.string()))
+    return t
+
+
+def bgp_match(source, patterns, select: list[str] | None = None,
+              optional=()):
     """SPARQL basic-graph-pattern analog over the triple store — the
     Spindle lookup-endpoint shape (reference: Twine consumers query
     the SPARQL store Spindle populates; SURVEY §1.1).
@@ -193,6 +217,15 @@ def bgp_match(source, patterns, select: list[str] | None = None):
     matches empties the result.  Patterns join in the given order —
     put the most selective pattern first.
 
+    ``optional`` patterns are the SPARQL OPTIONAL analog: each
+    left-outer-joins onto the required solutions after all required
+    patterns joined.  A solution with no compatible optional match
+    keeps ONE row with null for the optional pattern's new variables;
+    m compatible matches multiply it m times (SPARQL bag semantics).
+    Each optional pattern must share at least one variable with the
+    required patterns (the subset this engine supports — a disjoint
+    OPTIONAL is a cross product and is refused).
+
     Returns a Dataset of bindings, one column per variable (``select``
     projects/orders a subset)."""
     import numpy as np
@@ -205,8 +238,9 @@ def bgp_match(source, patterns, select: list[str] | None = None):
         raise ValueError("bgp_match needs at least one pattern")
 
     parsed = [_parse_pattern(p) for p in patterns]
+    parsed_opt = [_parse_pattern(p) for p in optional]
     all_vars: list[str] = []
-    for _, variables in parsed:
+    for _, variables in parsed + parsed_opt:
         for v in variables.values():
             if v not in all_vars:
                 all_vars.append(v)
@@ -297,6 +331,64 @@ def bgp_match(source, patterns, select: list[str] | None = None):
         for v in variables.values():
             if v not in acc_vars:
                 acc_vars.append(v)
+    for bound, variables in parsed_opt:
+        if not variables:
+            # an OPTIONAL ASK guard never filters — no-op by SPARQL
+            # semantics (the solution survives whether or not the
+            # optional part matches)
+            continue
+        if acc is None:
+            raise ValueError(
+                "optional patterns require at least one non-ASK "
+                "required pattern"
+            )
+        pat_vars = list(dict.fromkeys(variables.values()))
+        shared = [v for v in acc_vars if v in pat_vars]
+        if not shared:
+            raise ValueError(
+                "optional pattern shares no variable with the required "
+                f"patterns: {pat_vars}"
+            )
+        new_vars = [v for v in pat_vars if v not in acc_vars]
+        binds = _pattern_bindings(_scan(bound), bound, variables) \
+            .materialize()
+        n = binds.count()
+        if n == 0:
+            # nothing matches anywhere: every solution keeps one row
+            # with nulls for the new variables
+            if new_vars:
+                acc = acc.map_batches(
+                    lambda t, nv=tuple(new_vars): _with_null_vars(t, nv),
+                    batch_format="pyarrow",
+                ).materialize()
+                acc_vars.extend(new_vars)
+            continue
+        n_parts = max(2, default_num_partitions(
+            hi=32, rows=max(acc_rows, n), rows_per_partition=100_000
+        ))
+        left = acc.repartition(n_parts).materialize()
+        right = binds.repartition(n_parts).materialize()
+        ren = {v: f"__r_{v}" for v in shared}
+        right = right.map_batches(
+            lambda t, ren=ren: t.rename_columns(
+                [ren.get(c, c) for c in t.schema.names]
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        joined = left.join(
+            right, join_type="left_outer", num_partitions=n_parts,
+            on=tuple(shared), right_on=tuple(ren[v] for v in shared),
+        )
+        drop = list(ren.values())
+        acc = joined.map_batches(
+            lambda t, drop=drop, nv=tuple(new_vars): _with_null_vars(
+                t.drop_columns([c for c in drop if c in t.schema.names]),
+                nv,
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        acc_rows = acc.count()
+        acc_vars.extend(new_vars)
     if acc is None:  # all patterns were ASK guards that matched
         return rd.from_arrow(pa.table({"ask": pa.array([True])})) \
             if not out_vars else _empty()
