@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup": similarity.q_embed_neardup_ids,
         "embed_neardup_clusters": similarity.q_embed_neardup_clusters,
         "doc_split": text.q_doc_split,
+        "sample_stratified": text.q_sample_stratified,
         # --- KG pipeline (P/R-gated in tests/; _meta slice is oracled)
         "kg_flagship": kg_flagship,
         "kg_extract": kg_extract,
@@ -1167,6 +1168,20 @@ def oracle_sql() -> dict[str, str]:
                              || ' (' || source || ')' END AS title
             FROM documents
             WHERE COALESCE(lang, '') <> ''
+        """,
+        "sample_stratified": """
+            -- deterministic stratified sample: 20 smallest md5(doc_id)
+            -- digests per source stratum; lowercase fixed-width hex
+            -- compares identically in DuckDB and Python
+            SELECT doc_id, source FROM (
+                SELECT doc_id, COALESCE(source, '') AS source,
+                       row_number() OVER (
+                           PARTITION BY COALESCE(source, '')
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                    doc_id ASC
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 20
         """,
         "ann_topk": """
             WITH q AS (

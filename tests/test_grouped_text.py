@@ -94,3 +94,29 @@ def test_doc_fingerprints_deterministic(ray_session):
     b = q_doc_fingerprints("/root/testdata/sf0.001").to_pandas()
     key = a.sort_values("doc_id").reset_index(drop=True)
     assert key.equals(b.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_sample_stratified_exact_and_partition_free(ray_session):
+    """Per-stratum sample size is min(k, |stratum|); the chosen ids are
+    identical under different block layouts and row orders (the hash is
+    the draw, not the partitioning)."""
+    import ray.data as rd
+
+    from twine_ray.pipelines.text import sample_stratified
+
+    df = pd.DataFrame({
+        "doc_id": range(100),
+        "source": ["a"] * 50 + ["b"] * 47 + ["c"] * 3,
+    })
+
+    def run(frame, blocks):
+        out = sample_stratified(
+            rd.from_pandas(frame).repartition(blocks), ["source"], 5
+        ).to_pandas()
+        return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+    one = run(df, 1)
+    many = run(df.iloc[::-1].reset_index(drop=True), 7)
+    pd.testing.assert_frame_equal(one, many)
+    sizes = one.groupby("source").size()
+    assert sizes["a"] == 5 and sizes["b"] == 5 and sizes["c"] == 3

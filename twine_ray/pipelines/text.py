@@ -261,6 +261,60 @@ def q_doc_split(sf_dir: str):
     return ds.map_batches(_f, batch_format="pandas")
 
 
+def sample_stratified(ds, strata_cols: list[str], k: int,
+                      id_col: str = "doc_id"):
+    """Deterministic stratified sample: the ``k`` rows with the
+    SMALLEST md5 digest of their id per stratum.  The hash plays the
+    role of a seeded uniform draw, so the sample is exact-size per
+    stratum and independent of row order, partitioning and corpus
+    growth outside the stratum — the held-out-subset primitive a
+    training-data pipeline needs next to ``q_doc_split``'s rate split.
+
+    Scale shape: per-batch partial top-k (associative) combines before
+    the ONE bucketed exchange on the stratum key, so only ~k rows per
+    stratum per block shuffle."""
+    import hashlib
+
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    def _hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_h"] = df[id_col].map(
+            lambda i: hashlib.md5(str(int(i)).encode()).hexdigest()
+        )
+        return df
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            strata_cols + ["_h", id_col], kind="mergesort"
+        )
+        return df.groupby(strata_cols, sort=False, dropna=False).head(k)
+
+    out = bucketed_group_reduce(
+        ds.map_batches(_hash, batch_format="pandas"),
+        strata_cols, _reduce,
+    )
+    return out.map_batches(
+        lambda df: df.drop(columns=["_h"]), batch_format="pandas"
+    )
+
+
+def q_sample_stratified(sf_dir: str):
+    """20 docs per source stratum, chosen by smallest md5(doc_id) —
+    SQL-oracled (row_number over PARTITION BY source ORDER BY md5)."""
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def _norm(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "source": df["source"].fillna(""),
+        })
+
+    return sample_stratified(
+        ds.map_batches(_norm, batch_format="pandas"), ["source"], 20
+    )
+
+
 def q_doc_fingerprints(sf_dir: str):
     """SimHash + winnowing fingerprint count per doc (rows-only)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
