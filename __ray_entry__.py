@@ -194,6 +194,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def kg_bgp_filter(sf_dir: str):
+        """FILTER analog on top of OPTIONAL: non-English graphs that DO
+        carry a dc:title — ('lang' != 'en') AND ('title' bound) over
+        the left-joined solutions.  'bound' prunes the optional nulls,
+        so the output is null-free (no hash hazard)."""
+        from twine_ray.stages.query import bgp_match
+        from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
+
+        triples = kg_triples_dataset(
+            pages_from_documents(sf_dir), default_alias_rows()
+        ).materialize()
+        return bgp_match(triples, [
+            ("?g", "?s", DC_LANGUAGE, "?lang"),
+        ], optional=[
+            ("?g", "?s", DC_TITLE, "?title"),
+        ], filters=[
+            ("lang", "!=", "en"),
+            ("title", "bound"),
+        ], select=["g", "lang", "title"])
+
+    def kg_bgp_union(sf_dir: str):
+        """UNION analog: bag union of the dc:title bindings and the
+        dc:language bindings over one scan definition — both groups
+        bind (?g, ?v), so the union is column-aligned and null-free."""
+        from twine_ray.stages.query import bgp_union
+        from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
+
+        triples = kg_triples_dataset(
+            pages_from_documents(sf_dir), default_alias_rows()
+        ).materialize()
+        return bgp_union(triples, [
+            {"patterns": [("?g", "?s", DC_TITLE, "?v")]},
+            {"patterns": [("?g", "?s", DC_LANGUAGE, "?v")]},
+        ], select=["g", "v"])
+
     return {
         # --- relational operator coverage (SURVEY.md §2, FIXTURES.md T5)
         "filter_project": relational.q_filter_project,
@@ -278,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_index_pages": kg_index_pages,
         "kg_bgp": kg_bgp,
         "kg_bgp_optional": kg_bgp_optional,
+        "kg_bgp_filter": kg_bgp_filter,
+        "kg_bgp_union": kg_bgp_union,
         # --- multimodal plumbing (decode kernel is a declared sandbox
         # stand-in; schema/batching/actor plumbing is real — rows-only)
         "media_features": multimodal.q_media_features,
@@ -1168,6 +1205,36 @@ def oracle_sql() -> dict[str, str]:
                              || ' (' || source || ')' END AS title
             FROM documents
             WHERE COALESCE(lang, '') <> ''
+        """,
+        "kg_bgp_filter": """
+            -- FILTER over OPTIONAL: lang != 'en' AND title bound ->
+            -- non-English docs of a <title>-emitting HTML variant
+            SELECT 'http://' || COALESCE(NULLIF(source, ''), 'docs')
+                       || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                       AS g,
+                   lang,
+                   'Document ' || CAST(doc_id AS VARCHAR)
+                       || ' (' || source || ')' AS title
+            FROM documents
+            WHERE COALESCE(lang, '') <> '' AND lang <> 'en'
+              AND doc_id % 4 <> 3
+        """,
+        "kg_bgp_union": """
+            -- UNION (bag) of title bindings and language bindings
+            SELECT g, v FROM (
+                SELECT 'http://' || COALESCE(NULLIF(source, ''), 'docs')
+                           || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                           AS g,
+                       'Document ' || CAST(doc_id AS VARCHAR)
+                           || ' (' || source || ')' AS v
+                FROM documents WHERE doc_id % 4 <> 3
+                UNION ALL
+                SELECT 'http://' || COALESCE(NULLIF(source, ''), 'docs')
+                           || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                           AS g,
+                       lang AS v
+                FROM documents WHERE COALESCE(lang, '') <> ''
+            )
         """,
         "sample_stratified": """
             -- deterministic stratified sample: 20 smallest md5(doc_id)

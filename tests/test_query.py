@@ -352,6 +352,72 @@ def test_bgp_optional_errors(ray_session):
                   optional=[(None, "?s", "title", "?t")])
 
 
+def test_bgp_filters(ray_session):
+    """FILTER subset: comparison, regex/contains, var-var, and
+    bound/!bound interplay with OPTIONAL nulls."""
+    ds = _triples_ds({
+        "graph": ["g"] * 5,
+        "subj":  ["s1", "s2", "s3", "s1", "s2"],
+        "pred":  ["lang", "lang", "lang", "title", "title"],
+        "obj":   ["en", "fr", "s3", "T1", "T2"],
+    })
+    from twine_ray.stages.query import bgp_match
+
+    req = [(None, "?s", "lang", "?lang")]
+
+    def run(**kw):
+        df = bgp_match(ds, req, **kw).to_pandas()
+        return sorted(df["s"])
+
+    assert run(filters=[("lang", "!=", "en")]) == ["s2", "s3"]
+    assert run(filters=[("?lang", "<", "fr")]) == ["s1"]
+    assert run(filters=[("lang", "regex", "^(en|fr)$")]) == ["s1", "s2"]
+    assert run(filters=[("lang", "contains", "r")]) == ["s2"]
+    # var-var: ?lang == ?s only for s3 (obj 's3' == subj 's3')
+    assert run(filters=[("lang", "==", "?s")]) == ["s3"]
+    # bound/!bound over an optional null
+    opt = [(None, "?s", "title", "?title")]
+    assert run(optional=opt, filters=[("title", "bound")]) == ["s1", "s2"]
+    assert run(optional=opt, filters=[("title", "!bound")]) == ["s3"]
+    # a comparison on a null binding drops the row (error semantics)
+    assert run(optional=opt, filters=[("title", ">=", "T")]) \
+        == ["s1", "s2"]
+    with pytest.raises(ValueError, match="unbound"):
+        run(filters=[("nope", "==", "x")])
+    with pytest.raises(ValueError, match="unknown filter op"):
+        run(filters=[("lang", "~", "x")])
+
+
+def test_bgp_union(ray_session):
+    """UNION: bag union of group solutions; a group that does not bind
+    a variable contributes nulls for it."""
+    ds = _triples_ds({
+        "graph": ["g"] * 4,
+        "subj":  ["s1", "s2", "s1", "s1"],
+        "pred":  ["lang", "lang", "title", "title"],
+        "obj":   ["en", "en", "T1", "T1"],
+    })
+    from twine_ray.stages.query import bgp_union
+
+    got = bgp_union(ds, [
+        {"patterns": [(None, "?s", "lang", "?v")]},
+        {"patterns": [(None, "?s", "title", "?v")]},
+    ]).to_pandas().sort_values(["s", "v"]).reset_index(drop=True)
+    # bag semantics: s1's duplicate title triples are... deduplicated
+    # nowhere — two identical (s1, T1) rows survive
+    assert list(got["s"]) == ["s1", "s1", "s1", "s2"]
+    assert list(got["v"]) == ["T1", "T1", "en", "en"]
+
+    # differing variables: second group binds ?t, first leaves it null
+    got2 = bgp_union(ds, [
+        {"patterns": [(None, "?s", "lang", "?v")]},
+        {"patterns": [(None, "?s", "title", "?t")],
+         "filters": [("t", "==", "T1")]},
+    ]).to_pandas()
+    assert set(got2.columns) == {"s", "v", "t"}
+    assert got2["t"].isna().sum() == 2 and got2["v"].isna().sum() == 2
+
+
 def test_cli_bgp(store, ray_session, capsys):
     from twine_ray.cli import main
     from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE

@@ -215,7 +215,16 @@ def cmd_bgp(args) -> int:
         print(f"bad pattern (need 3 or 4 terms): {e.args[0]!r}",
               file=sys.stderr)
         return 2
-    df = bgp_match(args.store, pats, optional=opts).to_pandas()
+    flts = []
+    for f in args.filter or []:
+        terms = f.split(None, 2)
+        if len(terms) not in (2, 3):
+            print(f"bad filter (need 'var op [value]'): {f!r}",
+                  file=sys.stderr)
+            return 2
+        flts.append(tuple(terms))
+    df = bgp_match(args.store, pats, optional=opts,
+                   filters=flts).to_pandas()
     print("\t".join(df.columns))
     for row in df.itertuples(index=False):
         print("\t".join(str(v) for v in row))
@@ -318,6 +327,11 @@ def main(argv=None) -> int:
         "--optional", action="append",
         help="OPTIONAL pattern (left-join; unmatched solutions keep "
              "nulls for its new variables)",
+    )
+    pb.add_argument(
+        "--filter", action="append",
+        help="FILTER spec '?var op value' (op: == != < <= > >= regex "
+             "contains bound !bound)",
     )
     pb.set_defaults(fn=cmd_bgp)
 

@@ -201,8 +201,76 @@ def _with_null_vars(t, names):
     return t
 
 
+_FILTER_OPS = ("==", "!=", "<", "<=", ">", ">=", "regex", "contains",
+               "bound", "!bound")
+
+
+def _compile_filters(filters, known_vars):
+    """Compile ``(var, op, value)`` filter specs into one vectorized
+    pyarrow predicate over a bindings table.  ``value`` may be a
+    literal string or another '?var'.  Comparisons are lexicographic
+    over the term strings (the SPARQL-subset this engine documents);
+    null bindings fail every test except '!bound' — SQL WHERE / SPARQL
+    FILTER-error semantics agree here."""
+    import pyarrow.compute as pc
+
+    checked = []
+    for var, op, *rest in filters:
+        var = var.lstrip("?")
+        if var not in known_vars:
+            raise ValueError(f"filter on unbound variable: ?{var}")
+        if op not in _FILTER_OPS:
+            raise ValueError(f"unknown filter op {op!r} "
+                             f"(one of {_FILTER_OPS})")
+        val = rest[0] if rest else None
+        if op in ("bound", "!bound"):
+            if rest:
+                raise ValueError(f"{op} takes no value")
+        elif val is None:
+            raise ValueError(f"{op} needs a value")
+        elif isinstance(val, str) and val.startswith("?"):
+            other = val[1:]
+            if other not in known_vars:
+                raise ValueError(f"filter references unbound "
+                                 f"variable: ?{other}")
+            val = ("var", other)
+        checked.append((var, op, val))
+
+    def _mask(t):
+        mask = None
+        for var, op, val in checked:
+            col = t[var]
+            if op == "bound":
+                m = pc.is_valid(col)
+            elif op == "!bound":
+                m = pc.is_null(col)
+            else:
+                rhs = t[val[1]] if isinstance(val, tuple) else val
+                if op == "==":
+                    m = pc.equal(col, rhs)
+                elif op == "!=":
+                    m = pc.not_equal(col, rhs)
+                elif op == "<":
+                    m = pc.less(col, rhs)
+                elif op == "<=":
+                    m = pc.less_equal(col, rhs)
+                elif op == ">":
+                    m = pc.greater(col, rhs)
+                elif op == ">=":
+                    m = pc.greater_equal(col, rhs)
+                elif op == "regex":
+                    m = pc.match_substring_regex(col, val)
+                else:  # contains
+                    m = pc.match_substring(col, val)
+                m = pc.fill_null(m, False)
+            mask = m if mask is None else pc.and_(mask, m)
+        return mask
+
+    return _mask
+
+
 def bgp_match(source, patterns, select: list[str] | None = None,
-              optional=()):
+              optional=(), filters=()):
     """SPARQL basic-graph-pattern analog over the triple store — the
     Spindle lookup-endpoint shape (reference: Twine consumers query
     the SPARQL store Spindle populates; SURVEY §1.1).
@@ -225,6 +293,14 @@ def bgp_match(source, patterns, select: list[str] | None = None,
     Each optional pattern must share at least one variable with the
     required patterns (the subset this engine supports — a disjoint
     OPTIONAL is a cross product and is refused).
+
+    ``filters`` is the SPARQL FILTER analog: ``(var, op, value)``
+    specs applied to the FINAL solutions (after optional joins), ANDed
+    together, streaming through one vectorized map_batches.  ``op`` is
+    one of ``==  !=  <  <=  >  >=  regex  contains  bound  !bound``;
+    ``value`` is a literal string or another '?var'; comparisons are
+    lexicographic over the term strings.  A null binding (unmatched
+    OPTIONAL) fails every test except ``!bound``.
 
     Returns a Dataset of bindings, one column per variable (``select``
     projects/orders a subset)."""
@@ -390,9 +466,59 @@ def bgp_match(source, patterns, select: list[str] | None = None,
         acc_rows = acc.count()
         acc_vars.extend(new_vars)
     if acc is None:  # all patterns were ASK guards that matched
+        if filters:
+            raise ValueError("filters need at least one variable "
+                             "pattern")
         return rd.from_arrow(pa.table({"ask": pa.array([True])})) \
             if not out_vars else _empty()
+    if filters:
+        mask_fn = _compile_filters(filters, acc_vars)
+        acc = acc.map_batches(
+            lambda t: t.filter(mask_fn(t)), batch_format="pyarrow",
+        )
     return acc.map_batches(
         lambda t: pa.table({v: t[v] for v in out_vars}),
         batch_format="pyarrow",
     )
+
+
+def bgp_union(source, groups, select: list[str] | None = None):
+    """SPARQL UNION analog: bag union of the solutions of several BGP
+    groups over one source.  Each group is a dict accepted by
+    ``bgp_match`` (``patterns`` required; ``optional`` / ``filters``
+    optional).  Output columns are the union of every group's
+    variables; a group that does not bind a variable contributes nulls
+    for it (SPARQL UNION semantics).  The branches stream — the union
+    is a zero-copy block concatenation, no shuffle."""
+    import ray.data as rd  # noqa: F401  (parity with bgp_match imports)
+
+    if not groups:
+        raise ValueError("bgp_union needs at least one group")
+    results = [
+        bgp_match(source, g["patterns"], optional=g.get("optional", ()),
+                  filters=g.get("filters", ()))
+        for g in groups
+    ]
+    all_vars: list[str] = []
+    for r in results:
+        for v in r.schema().names:
+            if v not in all_vars:
+                all_vars.append(v)
+    out_vars = all_vars if select is None else list(select)
+    unknown = [v for v in out_vars if v not in all_vars]
+    if unknown:
+        raise ValueError(f"select names unbound variables: {unknown}")
+
+    def _align(t, ov=tuple(out_vars)):
+        import pyarrow as pa
+
+        t = _with_null_vars(t, ov)
+        return pa.table({v: t[v] for v in ov})
+
+    aligned = [
+        r.map_batches(_align, batch_format="pyarrow") for r in results
+    ]
+    out = aligned[0]
+    for r in aligned[1:]:
+        out = out.union(r)
+    return out
