@@ -214,6 +214,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ("title", "bound"),
         ], select=["g", "lang", "title"])
 
+    def kg_construct(sf_dir: str):
+        """CONSTRUCT analog (bgp_construct): re-emit each solved
+        (?g, ?s, ?lang[, ?title]) solution as dc:language + dc:title
+        literal triples — query-driven graph generation; the optional
+        null title drops only ITS template triple.  Projected to the
+        (graph, subj, pred, obj) slice for the oracle."""
+        from twine_ray.stages.query import bgp_construct
+        from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
+
+        triples = kg_triples_dataset(
+            pages_from_documents(sf_dir), default_alias_rows()
+        ).materialize()
+        out = bgp_construct(triples, [
+            ("?g", "?s", DC_LANGUAGE, "?lang"),
+        ], template=[
+            ("?g", "?s", DC_LANGUAGE, "?lang", True),
+            ("?g", "?s", DC_TITLE, "?title", True),
+        ], optional=[
+            ("?g", "?s", DC_TITLE, "?title"),
+        ])
+        return out.map_batches(
+            lambda t: t.select(["graph", "subj", "pred", "obj"]),
+            batch_format="pyarrow",
+        )
+
     def kg_bgp_union(sf_dir: str):
         """UNION analog: bag union of the dc:title bindings and the
         dc:language bindings over one scan definition — both groups
@@ -315,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_optional": kg_bgp_optional,
         "kg_bgp_filter": kg_bgp_filter,
         "kg_bgp_union": kg_bgp_union,
+        "kg_construct": kg_construct,
         # --- multimodal plumbing (decode kernel is a declared sandbox
         # stand-in; schema/batching/actor plumbing is real — rows-only)
         "media_features": multimodal.q_media_features,
@@ -1218,6 +1244,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE COALESCE(lang, '') <> '' AND lang <> 'en'
               AND doc_id % 4 <> 3
+        """,
+        "kg_construct": """
+            -- CONSTRUCT template over the lang solutions: a language
+            -- triple per solved doc plus a title triple where the
+            -- optional title bound (variant <> 3)
+            WITH d AS (
+                SELECT 'http://' || COALESCE(NULLIF(source, ''), 'docs')
+                           || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                           AS g,
+                       lang, doc_id, source
+                FROM documents WHERE COALESCE(lang, '') <> ''
+            )
+            SELECT g AS graph, g AS subj,
+                   'http://purl.org/dc/terms/language' AS pred,
+                   lang AS obj
+            FROM d
+            UNION ALL
+            SELECT g, g, 'http://purl.org/dc/terms/title',
+                   'Document ' || CAST(doc_id AS VARCHAR)
+                       || ' (' || source || ')'
+            FROM d WHERE doc_id % 4 <> 3
         """,
         "kg_bgp_union": """
             -- UNION (bag) of title bindings and language bindings

@@ -418,6 +418,42 @@ def test_bgp_union(ray_session):
     assert got2["t"].isna().sum() == 2 and got2["v"].isna().sum() == 2
 
 
+def test_bgp_construct(ray_session):
+    """CONSTRUCT: one instantiated template triple per solution per
+    template pattern; null (optional) bindings drop only their own
+    pattern's triple; literal-ness comes from the template flag."""
+    ds = _triples_ds({
+        "graph": ["g"] * 3,
+        "subj":  ["s1", "s2", "s1"],
+        "pred":  ["lang", "lang", "title"],
+        "obj":   ["en", "fr", "T1"],
+    })
+    from twine_ray.stages.query import bgp_construct
+
+    out = bgp_construct(ds, [
+        (None, "?s", "lang", "?lang"),
+    ], template=[
+        ("http://out/", "?s", "http://p/lang", "?lang", True),
+        ("http://out/", "?s", "http://p/title", "?title"),
+    ], optional=[
+        (None, "?s", "title", "?title"),
+    ]).to_pandas().sort_values(["pred", "subj"]).reset_index(drop=True)
+    # 2 lang triples + 1 title triple (s2's null title dropped)
+    assert list(out["pred"]) == [
+        "http://p/lang", "http://p/lang", "http://p/title"
+    ]
+    assert list(out["subj"]) == ["s1", "s2", "s1"]
+    assert list(out["obj"]) == ["en", "fr", "T1"]
+    assert list(out["obj_is_lit"]) == [True, True, False]
+    assert (out["graph"] == "http://out/").all()
+
+    with pytest.raises(ValueError, match="unbound"):
+        bgp_construct(ds, [(None, "?s", "lang", "?lang")],
+                      template=[("g", "?s", "p", "?nope")])
+    with pytest.raises(ValueError, match="non-empty"):
+        bgp_construct(ds, [(None, "?s", "lang", "?lang")], template=[])
+
+
 def test_cli_bgp(store, ray_session, capsys):
     from twine_ray.cli import main
     from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE

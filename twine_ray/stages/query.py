@@ -482,6 +482,86 @@ def bgp_match(source, patterns, select: list[str] | None = None,
     )
 
 
+def bgp_construct(source, patterns, template, optional=(), filters=()):
+    """SPARQL CONSTRUCT analog: instantiate a triple ``template`` once
+    per solution of the BGP — the rule-driven graph-generation shape
+    (Spindle generates proxy graphs from queries over source graphs;
+    SURVEY §1.1).
+
+    ``template`` is a list of 4-tuples ``(graph, subj, pred, obj)``
+    or 5-tuples ``(..., obj_is_lit)``; each term is a '?var' from the
+    BGP or a constant string.  ``obj_is_lit`` defaults to False (IRI
+    object) — bindings carry no term kind, so literal-ness is declared
+    by the template, like a rulebase entry.  Solutions with a null
+    binding used by a template pattern are skipped for THAT pattern
+    (SPARQL: invalid RDF terms drop the instantiated triple).
+
+    Output is a TRIPLES_SCHEMA Dataset; instantiation is one
+    vectorized map_batches over the bindings (streaming, no shuffle).
+    """
+    import pyarrow as pa
+
+    from twine_ray.stages.triples import TRIPLES_SCHEMA
+
+    if not template:
+        raise ValueError("bgp_construct needs a non-empty template")
+    binds = bgp_match(source, patterns, optional=optional,
+                      filters=filters)
+    known = set(binds.schema().names)
+    parsed_tpl = []
+    for entry in template:
+        if len(entry) == 4:
+            entry = tuple(entry) + (False,)
+        if len(entry) != 5:
+            raise ValueError(
+                f"template entry needs 4 terms (+ optional obj_is_lit "
+                f"flag): {entry!r}"
+            )
+        *terms, is_lit = entry
+        for t in terms:
+            if t is None:
+                raise ValueError(
+                    f"template terms must be constants or ?vars, not "
+                    f"None: {entry!r}"
+                )
+            if isinstance(t, str) and t.startswith("?") \
+                    and t[1:] not in known:
+                raise ValueError(f"template references unbound "
+                                 f"variable: {t}")
+        parsed_tpl.append((tuple(terms), bool(is_lit)))
+
+    def _instantiate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = len(t)
+        parts = []
+        for terms, is_lit in parsed_tpl:
+            cols = {}
+            valid = None
+            for name, term in zip(("graph", "subj", "pred", "obj"),
+                                  terms):
+                if term.startswith("?"):
+                    col = t[term[1:]]
+                    v = pc.is_valid(col)
+                    valid = v if valid is None else pc.and_(valid, v)
+                    cols[name] = col
+                else:
+                    cols[name] = pa.nulls(n, pa.string()).fill_null(term)
+            part = pa.table({
+                **cols,
+                "obj_is_lit": pa.nulls(n, pa.bool_()).fill_null(is_lit),
+                "obj_dt": pa.nulls(n, pa.string()).fill_null(""),
+                "obj_lang": pa.nulls(n, pa.string()).fill_null(""),
+                "score": pa.nulls(n, pa.int32()).fill_null(0),
+            }).cast(TRIPLES_SCHEMA)
+            if valid is not None:
+                part = part.filter(valid)
+            parts.append(part)
+        return pa.concat_tables(parts)
+
+    return binds.map_batches(_instantiate, batch_format="pyarrow")
+
+
 def bgp_union(source, groups, select: list[str] | None = None):
     """SPARQL UNION analog: bag union of the solutions of several BGP
     groups over one source.  Each group is a dict accepted by
