@@ -239,6 +239,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def kg_bgp_agg(sf_dir: str):
+        """GROUP-BY aggregate analog over BGP solutions
+        (bgp_aggregate): per language, the solution count, the count
+        of BOUND optional titles (SPARQL COUNT(?title) skips unmatched
+        OPTIONALs), and the lexicographic min title."""
+        from twine_ray.stages.query import bgp_aggregate
+        from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
+
+        triples = kg_triples_dataset(
+            pages_from_documents(sf_dir), default_alias_rows()
+        ).materialize()
+        return bgp_aggregate(triples, [
+            ("?g", "?s", DC_LANGUAGE, "?lang"),
+        ], group_vars=["lang"], aggs={
+            "n": ("count",),
+            "n_titled": ("count_var", "title"),
+            "min_title": ("min", "title"),
+        }, optional=[
+            ("?g", "?s", DC_TITLE, "?title"),
+        ]).map_batches(
+            # plain object dtype: the nullable string dtype the
+            # aggregate uses internally would hash-mismatch the oracle
+            lambda df: df.assign(
+                min_title=df["min_title"].fillna("").astype(object)
+            ),
+            batch_format="pandas",
+        )
+
     def kg_bgp_union(sf_dir: str):
         """UNION analog: bag union of the dc:title bindings and the
         dc:language bindings over one scan definition — both groups
@@ -341,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_filter": kg_bgp_filter,
         "kg_bgp_union": kg_bgp_union,
         "kg_construct": kg_construct,
+        "kg_bgp_agg": kg_bgp_agg,
         # --- multimodal plumbing (decode kernel is a declared sandbox
         # stand-in; schema/batching/actor plumbing is real — rows-only)
         "media_features": multimodal.q_media_features,
@@ -1265,6 +1294,21 @@ def oracle_sql() -> dict[str, str]:
                    'Document ' || CAST(doc_id AS VARCHAR)
                        || ' (' || source || ')'
             FROM d WHERE doc_id % 4 <> 3
+        """,
+        "kg_bgp_agg": """
+            -- GROUP BY ?lang over the lang solutions: COUNT(*),
+            -- COUNT(?title) (bound optionals only), MIN(?title)
+            SELECT lang,
+                   COUNT(*) AS n,
+                   COUNT(CASE WHEN doc_id % 4 <> 3 THEN 1 END)
+                       AS n_titled,
+                   COALESCE(MIN(CASE WHEN doc_id % 4 <> 3
+                       THEN 'Document ' || CAST(doc_id AS VARCHAR)
+                            || ' (' || source || ')' END), '')
+                       AS min_title
+            FROM documents
+            WHERE COALESCE(lang, '') <> ''
+            GROUP BY lang
         """,
         "kg_bgp_union": """
             -- UNION (bag) of title bindings and language bindings

@@ -454,6 +454,41 @@ def test_bgp_construct(ray_session):
         bgp_construct(ds, [(None, "?s", "lang", "?lang")], template=[])
 
 
+def test_bgp_aggregate(ray_session):
+    """GROUP BY + COUNT/COUNT(var)/MIN over solutions, incl. the
+    SPARQL rule that COUNT(?v) skips unbound OPTIONAL bindings."""
+    ds = _triples_ds({
+        "graph": ["g"] * 6,
+        "subj":  ["s1", "s2", "s3", "s4", "s1", "s3"],
+        "pred":  ["lang", "lang", "lang", "lang", "title", "title"],
+        "obj":   ["en", "en", "fr", "fr", "T1", "T9"],
+    })
+    from twine_ray.stages.query import bgp_aggregate
+
+    got = bgp_aggregate(ds, [
+        (None, "?s", "lang", "?lang"),
+    ], group_vars=["lang"], aggs={
+        "n": ("count",),
+        "n_titled": ("count_var", "title"),
+        "min_s": ("min", "s"),
+        "max_title": ("max", "title"),
+    }, optional=[
+        (None, "?s", "title", "?title"),
+    ]).to_pandas().sort_values("lang").reset_index(drop=True)
+    assert list(got["lang"]) == ["en", "fr"]
+    assert list(got["n"]) == [2, 2]
+    assert list(got["n_titled"]) == [1, 1]
+    assert list(got["min_s"]) == ["s1", "s3"]
+    assert list(got["max_title"]) == ["T1", "T9"]
+
+    with pytest.raises(ValueError, match="unbound"):
+        bgp_aggregate(ds, [(None, "?s", "lang", "?lang")],
+                      group_vars=["lang"], aggs={"m": ("min", "nope")})
+    with pytest.raises(ValueError, match="unknown agg op"):
+        bgp_aggregate(ds, [(None, "?s", "lang", "?lang")],
+                      group_vars=["lang"], aggs={"m": ("avg", "s")})
+
+
 def test_cli_bgp(store, ray_session, capsys):
     from twine_ray.cli import main
     from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE

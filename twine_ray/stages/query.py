@@ -562,6 +562,92 @@ def bgp_construct(source, patterns, template, optional=(), filters=()):
     return binds.map_batches(_instantiate, batch_format="pyarrow")
 
 
+_AGG_OPS = ("count", "count_var", "min", "max")
+
+
+def bgp_aggregate(source, patterns, group_vars, aggs, optional=(),
+                  filters=()):
+    """SPARQL SELECT-with-GROUP-BY analog: aggregate the solutions of
+    a BGP.  ``group_vars`` names the grouping variables; ``aggs`` maps
+    output column -> ``("count",)`` (solutions per group),
+    ``("count_var", var)`` (non-null bindings of ``var`` — how SPARQL
+    COUNT(?v) treats unmatched OPTIONALs), or ``("min"|"max", var)``
+    (lexicographic extreme of the term strings).
+
+    Scale shape: per-batch partial aggregation first, so only
+    (groups x aggregates) partial rows enter the ONE bucketed exchange
+    — the combiner pattern every wide groupby here uses."""
+    import pandas as pd
+
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    group_vars = [v.lstrip("?") for v in group_vars]
+    if not group_vars:
+        raise ValueError("bgp_aggregate needs at least one group var")
+    specs = []
+    for out_col, spec in aggs.items():
+        op, *rest = spec
+        if op not in _AGG_OPS:
+            raise ValueError(f"unknown agg op {op!r} (one of {_AGG_OPS})")
+        var = rest[0].lstrip("?") if rest else None
+        if op != "count" and var is None:
+            raise ValueError(f"{op} needs a variable")
+        specs.append((out_col, op, var))
+
+    binds = bgp_match(source, patterns, optional=optional,
+                      filters=filters)
+    known = set(binds.schema().names)
+    needed = set(group_vars) | {v for _, _, v in specs if v}
+    missing = sorted(needed - known)
+    if missing:
+        raise ValueError(f"aggregate references unbound variables: "
+                         f"{missing}")
+
+    minmax_vars = {v for _, op, v in specs if op in ("min", "max")}
+    minmax_cols = {c for c, op, _ in specs if op in ("min", "max")}
+
+    def _to_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # nullable string dtype: object columns mixing str and NaN
+        # (unmatched OPTIONALs) break pandas groupby min/max
+        for v in minmax_vars:
+            df = df.assign(**{v: df[v].astype("string")})
+        g = df.groupby(group_vars, sort=False, dropna=False)
+        cols = {}
+        for out_col, op, var in specs:
+            if op == "count":
+                cols[out_col] = g.size()
+            elif op == "count_var":
+                cols[out_col] = g[var].count()
+            elif op == "min":
+                cols[out_col] = g[var].min()
+            else:
+                cols[out_col] = g[var].max()
+        out = pd.DataFrame(cols).reset_index()
+        for out_col, op, _ in specs:
+            if op in ("count", "count_var"):
+                out[out_col] = out[out_col].astype("int64")
+        return out
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        for c in minmax_cols:
+            df = df.assign(**{c: df[c].astype("string")})
+        g = df.groupby(group_vars, sort=False, dropna=False)
+        cols = {}
+        for out_col, op, _ in specs:
+            if op in ("count", "count_var"):
+                cols[out_col] = g[out_col].sum().astype("int64")
+            elif op == "min":
+                cols[out_col] = g[out_col].min()
+            else:
+                cols[out_col] = g[out_col].max()
+        return pd.DataFrame(cols).reset_index()
+
+    return bucketed_group_reduce(
+        binds.map_batches(_to_partial, batch_format="pandas"),
+        group_vars, _merge,
+    )
+
+
 def bgp_union(source, groups, select: list[str] | None = None):
     """SPARQL UNION analog: bag union of the solutions of several BGP
     groups over one source.  Each group is a dict accepted by
