@@ -116,13 +116,23 @@ class _MinHashStage:
                        dtype=np.uint64)
         if flat:
             base = shingle_hashes(flat)  # (n_shingles,)
-            vals = (base[:, None] * self.a[None, :] + self.b[None, :]) \
-                % np.uint64(_MERSENNE31)
+            # permute UNIQUE hashes only (near-dup corpora repeat most
+            # shingles), one 1-D scalar-coefficient op per permutation:
+            # numpy's uint64 2-D broadcast path ((n,1)*(1,perm)) is
+            # ~50x slower than its contiguous scalar loops, and the
+            # gather back to per-shingle rows is pure memcpy.  Output
+            # is bit-identical to the (a*x+b) mod p outer product.
+            base_u, inv = np.unique(base, return_inverse=True)
+            m = np.uint64(_MERSENNE31)
+            vals_u = np.empty((len(self.a), len(base_u)), dtype=np.uint64)
+            for i in range(len(self.a)):
+                np.mod(base_u * self.a[i] + self.b[i], m, out=vals_u[i])
+            vals = vals_u[:, inv]  # (num_perm, n_shingles)
             nonempty = counts > 0
             starts = np.zeros(len(shingle_lists), dtype=np.int64)
             starts[1:] = np.cumsum(counts)[:-1]
-            mins = np.minimum.reduceat(vals, starts[nonempty], axis=0)
-            sigs[nonempty] = mins
+            mins = np.minimum.reduceat(vals, starts[nonempty], axis=1)
+            sigs[nonempty] = mins.T
         return sigs
 
     def signatures(self, texts) -> np.ndarray:
