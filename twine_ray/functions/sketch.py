@@ -97,9 +97,14 @@ def _bloom_probes(values, m: int, k: int):
     v = np.asarray(values, dtype=np.int64).astype(np.uint64)
     h1 = _splitmix64(v)
     h2 = _splitmix64(v ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
-    i = np.arange(k, dtype=np.uint64)[:, None]
-    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m)) \
-        .astype(np.int64)
+    # scalar loop over the k probes: numpy's uint64 2-D broadcast path
+    # is ~50x slower than its contiguous scalar loops (same fix as the
+    # MinHash permutation kernel); output is bit-identical
+    out = np.empty((k, len(v)), dtype=np.uint64)
+    mm = np.uint64(m)
+    for j in range(k):
+        np.mod(h1 + np.uint64(j) * h2, mm, out=out[j])
+    return out.astype(np.int64)
 
 
 def bloom_bits(values, m: int = BLOOM_BITS, k: int = BLOOM_K) -> np.ndarray:
