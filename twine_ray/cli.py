@@ -240,6 +240,16 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_drop(args) -> int:
+    """DROP GRAPH analog: remove named graphs from the store (only
+    their hash buckets are rewritten)."""
+    from twine_ray.stages.materialize import drop_graphs
+
+    _ray_session()
+    print(json.dumps(drop_graphs(args.store, args.graph)))
+    return 0
+
+
 def cmd_workflow(args) -> int:
     import ray.data as rd
 
@@ -308,6 +318,12 @@ def main(argv=None) -> int:
     pc_.add_argument("store")
     pc_.add_argument("-b", "--bucket", action="append", type=int)
     pc_.set_defaults(fn=cmd_compact)
+
+    pd_ = sub.add_parser("drop",
+                         help="remove named graphs from the store")
+    pd_.add_argument("store")
+    pd_.add_argument("-g", "--graph", action="append", required=True)
+    pd_.set_defaults(fn=cmd_drop)
 
     pg = sub.add_parser("get", help="fetch a named graph / pattern")
     pg.add_argument("store")

@@ -396,6 +396,122 @@ def compact_store(store_dir: str, buckets=None) -> dict:
     }
 
 
+def drop_graphs(store_dir: str, graph_uris) -> dict:
+    """SPARQL ``DROP GRAPH`` analog (twine unpublishes a resource by
+    replacing its graph with nothing; ``twine:libtwine/sparql.c::
+    twine_sparql_put`` with an empty model): remove every triple of the
+    named graphs from the store.
+
+    Cost is bounded by the AFFECTED buckets, not store size: each graph
+    hashes to one bucket via the pinned manifest, so only those
+    partitions are read and rewritten — one parallel task per touched
+    bucket, no shuffle.  Crash-safe with the compact_store protocol:
+    the filtered file lands atomically as ``compact.parquet`` FIRST,
+    then the old run files are unlinked (an interrupted step-2 heals on
+    the next compaction or drop).  Lineage rows/files/bytes AND the
+    two-salt content signatures refresh for touched buckets, so
+    incremental mode sees the post-drop store state.
+    """
+    import os
+
+    import ray.data as rd
+
+    uris = sorted(set(graph_uris))
+    if not uris:
+        return {"dropped_rows": 0, "buckets": []}
+    m = ckpt.read_manifest(store_dir)
+    if not m or "num_buckets" not in m:
+        raise ValueError(
+            f"{store_dir} has no bucketing manifest — not a triple "
+            "store written by materialize_triples"
+        )
+    num_buckets = int(m["num_buckets"])
+    by_bucket: dict[int, list[str]] = {}
+    for g in uris:
+        by_bucket.setdefault(bucket_of(g, num_buckets), []).append(g)
+
+    dd = ckpt.data_dir(store_dir)
+    items = []
+    for b, gs in sorted(by_bucket.items()):
+        d = os.path.join(dd, f"{BUCKET_COL}={b}")
+        if os.path.isdir(d):
+            items.append({"b": b, "dir": d, "graphs": ",".join(gs)})
+    if not items:
+        return {"dropped_rows": 0, "buckets": []}
+
+    def _one(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.compute as pc_
+        import pyarrow.parquet as pq
+
+        out = {"b": [], "removed": [], "rows": [], "s1": [], "s2": []}
+        for b, d, gs in zip(batch["b"], batch["dir"], batch["graphs"]):
+            names = sorted(
+                f for f in os.listdir(d) if f.endswith(".parquet")
+            )
+            t = pq.read_table(d)
+            keep = pc_.invert(
+                pc_.is_in(t["graph"],
+                          value_set=pa.array(gs.split(","),
+                                             type=pa.string()))
+            )
+            kept = t.filter(keep)
+            removed = t.num_rows - kept.num_rows
+            if removed:
+                # row order within runs is preserved by filter; the
+                # single-file result is re-sorted like compaction so
+                # the one-sorted-file invariant holds
+                idx = pc_.sort_indices(
+                    kept, sort_keys=[("subj", "ascending"),
+                                     ("pred", "ascending"),
+                                     ("obj", "ascending")]
+                )
+                kept = kept.take(idx)
+                tmp = os.path.join(d, f".{COMPACT_NAME}.tmp")
+                pq.write_table(kept, tmp)
+                os.replace(tmp, os.path.join(d, COMPACT_NAME))
+                for f in names:
+                    if f != COMPACT_NAME:
+                        os.remove(os.path.join(d, f))
+            s1, s2, n = _sig_of_frame(
+                kept.select(_SIG_COLS).to_pandas()
+            )
+            out["b"].append(int(b))
+            out["removed"].append(int(removed))
+            out["rows"].append(int(n))
+            out["s1"].append(int(s1))
+            out["s2"].append(int(s2))
+        return pd.DataFrame(out)
+
+    res = (
+        rd.from_items(items, override_num_blocks=len(items))
+        .map_batches(_one, batch_format="pandas", batch_size=1)
+        .take_all()
+    )
+    recs = {r["bucket"]: r for r in read_lineage(store_dir)}
+    updated = []
+    for r in res:
+        if not r["removed"]:
+            continue
+        b = int(r["b"])
+        part = os.path.join(dd, f"{BUCKET_COL}={b}")
+        sizes = [
+            os.path.getsize(os.path.join(part, f))
+            for f in os.listdir(part) if f.endswith(".parquet")
+        ]
+        rec = recs.get(b, {"bucket": b})
+        rec.update(
+            rows=int(r["rows"]), files=len(sizes), bytes=sum(sizes),
+            sig1=int(r["s1"]), sig2=int(r["s2"]),
+        )
+        updated.append(rec)
+    if updated:
+        write_lineage(store_dir, updated)
+    return {
+        "dropped_rows": int(sum(r["removed"] for r in res)),
+        "buckets": sorted(int(r["b"]) for r in res if r["removed"]),
+    }
+
+
 def read_triple_store(out_dir: str):
     """Read the store back (all marked buckets)."""
     import ray.data as rd
