@@ -23,6 +23,13 @@ import sys
 import time
 import warnings
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from twine_ray.state.malloctune import MALLOC_ENV, reexec_tuned  # noqa: E402
+
+# glibc reads MALLOC_* once at startup; the sandbox's first-touch page
+# faults make un-tuned large allocations ~7x slower (see malloctune.py)
+reexec_tuned()
+
 warnings.filterwarnings("ignore")
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,12 +39,17 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 def _init_ray(num_cpus: int) -> None:
     import ray
 
+    kw = {}
+    if os.environ.get("MALLOC_TUNE") != "0":
+        # worker processes read glibc MALLOC_* at spawn (malloctune.py)
+        kw["runtime_env"] = {"env_vars": MALLOC_ENV}
     ray.init(
         address="local",
         num_cpus=num_cpus,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        **kw,
     )
     from ray.data import DataContext
 
@@ -175,6 +187,14 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "triangle_count": relational.q_triangle_count,
         "decontaminate": dedup.q_decontaminate,
     }
+    # SPARQL-subset surface over the KG triples (defined in
+    # __ray_entry__.queries(): extraction -> triples -> BGP join)
+    import __ray_entry__ as _entry
+
+    _qs = _entry.queries()
+    picks["kg_bgp"] = _qs["kg_bgp"]
+    picks["kg_bgp_agg"] = _qs["kg_bgp_agg"]
+    picks["sample_stratified"] = _qs["sample_stratified"]
     out = {}
     for name, fn in picks.items():
         t0 = time.perf_counter()

@@ -10,12 +10,16 @@ def ray_session():
     import ray
     from ray.data import DataContext
 
+    from twine_ray.state.malloctune import MALLOC_ENV
+
     ray.init(
         address="local",
         num_cpus=4,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # cheap page-fault relief for worker kernels (malloctune.py)
+        runtime_env={"env_vars": MALLOC_ENV},
     )
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False

@@ -7,8 +7,14 @@ Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import warnings
+
+sys.path.insert(0, "/root/repo")
+from twine_ray.state.malloctune import MALLOC_ENV, reexec_tuned  # noqa: E402
+
+reexec_tuned()
 
 warnings.filterwarnings("ignore")
 
@@ -55,6 +61,7 @@ def main() -> int:
     ray.init(
         address="local", num_cpus=8, include_dashboard=False,
         ignore_reinit_error=True, logging_level="ERROR",
+        runtime_env={"env_vars": MALLOC_ENV},
     )
     from ray.data import DataContext
 
