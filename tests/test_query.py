@@ -489,6 +489,53 @@ def test_bgp_aggregate(ray_session):
                       group_vars=["lang"], aggs={"m": ("avg", "s")})
 
 
+def test_bgp_optional_property_random_graphs(ray_session):
+    """Property: on random tiny graphs, bgp_match with one required and
+    one optional pattern equals the pandas inner-then-left merge —
+    including multiplicity (bag semantics) and null padding."""
+    import pandas as pd
+    import ray.data as rd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from twine_ray.stages.query import bgp_match
+
+    node = st.sampled_from(["n0", "n1", "n2", "n3"])
+    pred = st.sampled_from(["p", "q"])
+    edges = st.lists(st.tuples(node, pred, node), min_size=1,
+                     max_size=12)
+
+    @settings(max_examples=12, deadline=None)
+    @given(edges)
+    def run(es):
+        df = pd.DataFrame(es, columns=["subj", "pred", "obj"])
+        df["graph"] = "g"
+        df["obj_is_lit"] = True
+        df["obj_dt"] = ""
+        df["obj_lang"] = ""
+        df["score"] = 1
+        ds = rd.from_pandas(df)
+        got = bgp_match(
+            ds, [(None, "?s", "p", "?a")],
+            optional=[(None, "?s", "q", "?b")],
+        ).to_pandas()
+        req = df[df["pred"] == "p"][["subj", "obj"]] \
+            .rename(columns={"subj": "s", "obj": "a"})
+        opt = df[df["pred"] == "q"][["subj", "obj"]] \
+            .rename(columns={"subj": "s", "obj": "b"})
+        want = req.merge(opt, on="s", how="left")
+        key = lambda d: sorted(  # noqa: E731
+            (r.s, r.a, r.b if isinstance(r.b, str) else None)
+            for r in d.itertuples(index=False)
+        )
+        if req.empty:
+            assert len(got) == 0
+        else:
+            assert key(got) == key(want)
+
+    run()
+
+
 def test_cli_bgp(store, ray_session, capsys):
     from twine_ray.cli import main
     from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
