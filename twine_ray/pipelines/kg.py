@@ -54,7 +54,7 @@ def sameas_edges(triples_raw_ds):
     return triples_raw_ds.map_batches(_edges, batch_format="pyarrow")
 
 
-def kg_triples_dataset(pages_ds, alias_rows, *, concurrency=4,
+def kg_triples_dataset(pages_ds, alias_rows, *, concurrency=8,
                        rulebase=DEFAULT_RULEBASE):
     """pages Dataset -> final resolved triples Dataset (in-memory path;
     tests and oracle queries — the production path checkpoints raw
