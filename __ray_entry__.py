@@ -59,6 +59,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from twine_ray.pipelines import (
+        cluster,
         dedup,
         multimodal,
         relational,
@@ -354,6 +355,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": similarity.q_ann_ivf,
         "embed_neardup": similarity.q_embed_neardup_ids,
         "embed_neardup_clusters": similarity.q_embed_neardup_clusters,
+        "embed_kmeans": cluster.q_embed_kmeans,
+        "embed_semdedup": cluster.q_embed_semdedup,
         "doc_split": text.q_doc_split,
         "sample_stratified": text.q_sample_stratified,
         # --- KG pipeline (P/R-gated in tests/; _meta slice is oracled)
@@ -1145,6 +1148,108 @@ def oracle_sql() -> dict[str, str]:
             FROM roots
             JOIN (SELECT root, COUNT(*) AS cnt FROM roots GROUP BY root) c
               USING (root)
+        """,
+        "embed_kmeans": """
+            -- integer k-means (pipelines/cluster.py), 2 Lloyd
+            -- iterations unrolled: components are int64 micro-units
+            -- (floor(x*1e6), exact in float64), distances/sums exact
+            -- integers, centroid update = floor(sum/count), argmin
+            -- ties -> smallest centroid id.  Every step is integer,
+            -- so the assignment hash-matches bit-for-bit.
+            WITH e AS (
+                SELECT vec_id, list_transform(embedding,
+                    x -> CAST(floor(x*1000000) AS BIGINT)) AS v
+                FROM embeddings
+            ), c0 AS (
+                SELECT vec_id AS cid, v FROM e WHERE vec_id < 8
+            ), d1 AS (
+                SELECT e.vec_id, c0.cid,
+                       list_aggregate(list_transform(list_zip(e.v, c0.v),
+                           p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+                FROM e CROSS JOIN c0
+            ), a1 AS (
+                SELECT vec_id, cid FROM (
+                    SELECT vec_id, cid, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                    FROM d1) WHERE rn = 1
+            ), u AS (
+                SELECT vec_id, unnest(v) AS val,
+                       unnest(generate_series(1, 64)) AS idx FROM e
+            ), m1 AS (
+                SELECT a1.cid, u.idx,
+                       CAST(floor(SUM(u.val)*1.0/COUNT(*)) AS BIGINT)
+                           AS comp
+                FROM a1 JOIN u USING (vec_id)
+                GROUP BY a1.cid, u.idx
+            ), c1 AS (
+                SELECT cid, list(comp ORDER BY idx) AS v
+                FROM m1 GROUP BY cid
+            ), c1f AS (
+                -- empty clusters keep the previous centroid
+                SELECT c0.cid, COALESCE(c1.v, c0.v) AS v
+                FROM c0 LEFT JOIN c1 USING (cid)
+            ), d2 AS (
+                SELECT e.vec_id, c1f.cid,
+                       list_aggregate(list_transform(
+                           list_zip(e.v, c1f.v),
+                           p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+                FROM e CROSS JOIN c1f
+            )
+            SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+                SELECT vec_id, cid, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d2) WHERE rn = 1
+        """,
+        "embed_semdedup": """
+            -- SemDeDup (pipelines/cluster.py): assign to the k=8 seed
+            -- centroids, then within each cluster remove any vector
+            -- whose cosine to a lower-id member is >= 0.4 — evaluated
+            -- as the EXACT integer predicate
+            --   dot > 0 AND dot^2 * 25 >= 4 * |a|^2 * |b|^2
+            -- in HUGEINT, matching the pipeline's unbounded-int check.
+            WITH e AS (
+                SELECT vec_id, list_transform(embedding,
+                    x -> CAST(floor(x*1000000) AS BIGINT)) AS v
+                FROM embeddings
+            ), c0 AS (
+                SELECT vec_id AS cid, v FROM e WHERE vec_id < 8
+            ), d1 AS (
+                SELECT e.vec_id, c0.cid,
+                       list_aggregate(list_transform(list_zip(e.v, c0.v),
+                           p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+                FROM e CROSS JOIN c0
+            ), a1 AS (
+                SELECT vec_id, cid FROM (
+                    SELECT vec_id, cid, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                    FROM d1) WHERE rn = 1
+            ), n AS (
+                SELECT vec_id,
+                       list_aggregate(list_transform(list_zip(v, v),
+                           p -> p[1]*p[2]), 'sum') AS nrm
+                FROM e
+            ), dups AS (
+                SELECT b.vec_id AS b FROM a1 a
+                JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+                JOIN e ea ON ea.vec_id = a.vec_id
+                JOIN e eb ON eb.vec_id = b.vec_id
+                JOIN n na ON na.vec_id = a.vec_id
+                JOIN n nb ON nb.vec_id = b.vec_id
+                WHERE list_aggregate(list_transform(
+                          list_zip(ea.v, eb.v), p -> p[1]*p[2]),
+                          'sum') > 0
+                  AND CAST(list_aggregate(list_transform(
+                          list_zip(ea.v, eb.v), p -> p[1]*p[2]),
+                          'sum') AS HUGEINT)
+                      * CAST(list_aggregate(list_transform(
+                          list_zip(ea.v, eb.v), p -> p[1]*p[2]),
+                          'sum') AS HUGEINT) * 25
+                      >= CAST(4 AS HUGEINT)
+                         * CAST(na.nrm AS HUGEINT)
+                         * CAST(nb.nrm AS HUGEINT)
+            )
+            SELECT vec_id FROM e
+            WHERE vec_id NOT IN (SELECT b FROM dups)
         """,
         "kg_extract_meta": """
             -- the pages corpus is a pure function of the documents row
