@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.q_dedup_minhash,
         "dedup_simhash": dedup.q_dedup_simhash,
         "dedup_jaccard": dedup.q_dedup_jaccard,
+        "dedup_passage": dedup.q_dedup_passage,
         "decontaminate": dedup.q_decontaminate,
         # --- similarity search
         "ann_topk": similarity.q_ann_topk_ids,
@@ -1063,6 +1064,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, FLOOR(j * 10000 + 0.5) / 10000.0 AS jaccard
             FROM p WHERE j >= 0.5
+        """,
+        "dedup_passage": """
+            -- passage-level exact-dup profile: non-overlapping 4-token
+            -- ASCII passages (pipelines/dedup.py passage_windows); a
+            -- passage is duplicated iff its string occurs >1 time
+            -- corpus-wide.  The static series bound (511) exceeds any
+            -- testdata doc's window count; the filter keeps exactly
+            -- floor(len/4) windows per doc.
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+                FROM documents
+            ), wins AS (
+                SELECT doc_id,
+                       array_to_string(t[(i*4+1):((i+1)*4)], ' ')
+                           AS passage
+                FROM toks CROSS JOIN generate_series(0, 511) AS g(i)
+                WHERE i < CAST(floor(len(t)/4) AS BIGINT)
+            ), occ AS (
+                SELECT passage, COUNT(*) AS n FROM wins GROUP BY passage
+            )
+            SELECT w.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_passages,
+                   CAST(SUM(CASE WHEN o.n > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dup_passages
+            FROM wins w JOIN occ o USING (passage)
+            GROUP BY w.doc_id
         """,
         "decontaminate": """
             -- benchmark decontamination: corpus docs sharing any

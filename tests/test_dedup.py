@@ -245,3 +245,73 @@ def test_decontaminate_broadcast_equals_join_fallback(
     )
     assert a.to_dict("records") == b.to_dict("records")
     assert (a["n_shared"] > 0).all()
+
+
+def _passage_spec(texts: dict[int, str], w: int = 4) -> pd.DataFrame:
+    """Scalar reference for q_dedup_passage."""
+    from collections import Counter
+
+    from twine_ray.functions.fingerprint import passage_windows
+
+    per_doc = {d: passage_windows(t, w) for d, t in texts.items()}
+    counts = Counter(p for ps in per_doc.values() for p in ps)
+    rows = [
+        {
+            "doc_id": d,
+            "n_passages": len(ps),
+            "dup_passages": sum(1 for p in ps if counts[p] > 1),
+        }
+        for d, ps in per_doc.items()
+        if ps
+    ]
+    return (
+        pd.DataFrame(rows)
+        .astype("int64")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_passage_dedup_matches_spec(ray_session, sf_dir):
+    from twine_ray.pipelines.dedup import q_dedup_passage
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    got = (
+        q_dedup_passage(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _passage_spec(texts))
+    assert got["dup_passages"].sum() > 0, "corpus should have dups"
+
+
+def test_passage_dedup_planted(ray_session, tmp_path):
+    """A passage repeated across docs (and twice inside one doc) is
+    flagged in every occurrence; unique passages are not."""
+    shared = "alpha beta gamma delta"
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": [
+            f"{shared} unique one two three",
+            f"{shared} other words go here",
+            f"{shared} {shared} completely fresh tail words",
+        ],
+    }
+    pq.write_table(pa.Table.from_pydict(rows),
+                   str(tmp_path / "documents.parquet"))
+    from twine_ray.pipelines.dedup import q_dedup_passage
+
+    got = (
+        q_dedup_passage(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _passage_spec(dict(zip(rows["doc_id"], rows["text"])))
+    pd.testing.assert_frame_equal(got, want)
+    assert got.set_index("doc_id")["dup_passages"].to_dict() == {
+        1: 1, 2: 1, 3: 2,
+    }

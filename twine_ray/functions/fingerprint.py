@@ -46,6 +46,19 @@ def word_shingles_ascii(text: str, k: int = 3) -> set[str]:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
+def passage_windows(text: str, w: int) -> list[str]:
+    """Non-overlapping w-token passages of the ASCII-lowered token
+    stream (the fixed-granularity analog of paragraph splitting for
+    passage-level exact dedup); a trailing partial window is dropped.
+    ASCII tokens keep DuckDB-RE2 oracle parity like
+    ``word_shingles_ascii``."""
+    toks = _WORD_RE_ASCII.findall(text.lower())
+    return [
+        " ".join(toks[i * w : (i + 1) * w])
+        for i in range(len(toks) // w)
+    ]
+
+
 def shingle_hashes(shingles) -> np.ndarray:
     """Vectorized stable 31-bit hashes for a sequence of shingles
     (pandas SipHash with its fixed default key, categorize disabled —

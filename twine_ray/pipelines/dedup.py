@@ -740,3 +740,75 @@ def q_decontaminate(sf_dir: str, k: int = 4):
     return bucketed_group_reduce(
         hits, ["doc_id"], _per_doc, partial=False
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup (fixed-window substring-dedup analog)
+
+PASSAGE_W = 4  # tokens per non-overlapping passage window
+
+
+def q_dedup_passage(sf_dir: str, w: int = PASSAGE_W):
+    """Passage-level exact duplication profile — the fixed-granularity
+    analog of exact substring/paragraph dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — public method): instead of suffix-array spans,
+    documents split into non-overlapping ``w``-token passages and a
+    passage is DUPLICATED iff its exact string occurs more than once
+    corpus-wide (within-doc repeats count).
+
+    Returns one row per document: (doc_id, n_passages, dup_passages).
+    Consumers drop/clean documents by thresholding dup_passages /
+    n_passages — the dedup filter itself is a trivial downstream
+    ``filter``.
+
+    Scale shape: ONE tokenization pass explodes (doc_id, passage)
+    rows; ONE bucketed exchange keyed on the passage string sees every
+    complete passage group and emits per-(bucket, doc) PARTIAL
+    (n_passages, dup_passages) counts — corpus-scale data crosses the
+    wire once, and the second exchange merges only doc-level partial
+    rows (docs x buckets at most).  No driver-side state.  ASCII
+    tokens (``passage_windows``) keep DuckDB-RE2 oracle parity on any
+    corpus."""
+    from twine_ray.functions.fingerprint import passage_windows
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        ps: list[str] = []
+        for did, text in zip(df["doc_id"], df["text"]):
+            for p in passage_windows(text or "", w):
+                ids.append(int(did))
+                ps.append(p)
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "passage": pd.Series(ps, dtype=str),
+        })
+
+    occ = ds.map_batches(_explode, batch_format="pandas")
+
+    def _verdict(df: pd.DataFrame) -> pd.DataFrame:
+        # complete passage groups per bucket (partial=False contract)
+        sizes = df.groupby("passage", sort=False)["doc_id"] \
+            .transform("size")
+        dup = (sizes > 1).astype("int64")
+        g = df.assign(dup=dup).groupby("doc_id", sort=False)
+        out = pd.DataFrame({
+            "n_passages": g.size().astype("int64"),
+            "dup_passages": g["dup"].sum().astype("int64"),
+        }).reset_index()
+        return out
+
+    partials = bucketed_group_reduce(
+        occ, ["passage"], _verdict, partial=False
+    )
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", sort=False, as_index=False).agg(
+            n_passages=("n_passages", "sum"),
+            dup_passages=("dup_passages", "sum"),
+        )
+
+    return bucketed_group_reduce(partials, ["doc_id"], _merge)
