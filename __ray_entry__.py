@@ -283,6 +283,136 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"patterns": [("?g", "?s", DC_LANGUAGE, "?v")]},
         ], select=["g", "v"])
 
+    def _doc_urls(sf_dir: str, doc_ids) -> dict[int, str]:
+        """Page URLs for a handful of doc_ids (tiny pruned read; the
+        formula is sources/pages.py::build_doc_page)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "source"])
+        t = t.filter(pc.is_in(
+            t["doc_id"], value_set=pa.array(list(doc_ids))
+        ))
+        return {
+            int(d): f"http://{s or 'docs'}.example/doc/{int(d)}"
+            for d, s in zip(t["doc_id"].to_pylist(),
+                            t["source"].to_pylist())
+        }
+
+    def kg_bgp_modifiers(sf_dir: str):
+        """SPARQL solution modifiers (DISTINCT / ORDER BY / LIMIT /
+        OFFSET) over the English-title BGP — algebra order distinct ->
+        sort -> slice; titles are unique strings so the sliced SET is
+        deterministic and order-insensitively hash-comparable."""
+        from twine_ray.stages.query import bgp_match
+        from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
+
+        triples = kg_triples_dataset(
+            pages_from_documents(sf_dir), default_alias_rows()
+        ).materialize()
+        return bgp_match(triples, [
+            ("?g", "?s", DC_LANGUAGE, "en"),
+            ("?g", "?s", DC_TITLE, "?title"),
+        ], select=["title"], distinct=True,
+            order_by=[("title", "desc")], limit=10, offset=5)
+
+    def kg_ask(sf_dir: str):
+        """SPARQL ASK analog: does any graph carry an English
+        dc:language triple?  limit(1) probe — the stream stops at the
+        first matching block."""
+        from twine_ray.stages.query import bgp_ask
+        from twine_ray.state.rulebase import DC_LANGUAGE
+
+        triples = kg_triples_dataset(
+            pages_from_documents(sf_dir), default_alias_rows()
+        ).materialize()
+        return bgp_ask(triples, [("?g", "?s", DC_LANGUAGE, "en")])
+
+    def kg_describe(sf_dir: str):
+        """SPARQL DESCRIBE analog (predicate-scoped profile) of one
+        page resource: every metadata triple whose subject is doc 5's
+        graph URL — the Spindle entity-lookup shape.  The metadata
+        slice is a pure function of the documents row, so DuckDB
+        reconstructs the exact triples (kg_triples_meta filtered to
+        the resource)."""
+        from twine_ray.stages.query import describe_resource
+        from twine_ray.state.rulebase import (
+            DC_LANGUAGE,
+            DC_MODIFIED,
+            DC_TITLE,
+        )
+
+        triples = kg_triples_dataset(
+            pages_from_documents(sf_dir), default_alias_rows()
+        ).materialize()
+        url = _doc_urls(sf_dir, [5])[5]
+        return describe_resource(
+            triples, url, preds={DC_TITLE, DC_LANGUAGE, DC_MODIFIED}
+        )
+
+    def kg_bgp_values(sf_dir: str):
+        """SPARQL VALUES analog (inline data): titles restricted to
+        three explicit graph URLs — a vectorized OR-of-ANDs mask over
+        the solutions, no shuffle."""
+        from twine_ray.stages.query import bgp_match
+        from twine_ray.state.rulebase import DC_TITLE
+
+        triples = kg_triples_dataset(
+            pages_from_documents(sf_dir), default_alias_rows()
+        ).materialize()
+        urls = _doc_urls(sf_dir, [1, 2, 5])
+        return bgp_match(triples, [
+            ("?g", "?s", DC_TITLE, "?title"),
+        ], select=["g", "title"], values=[
+            {"g": urls[1]}, {"g": urls[2]}, {"g": urls[5]},
+        ])
+
+    def kg_bgp_minus(sf_dir: str):
+        """SPARQL MINUS analog: titled graphs minus those with an
+        English dc:language triple — shared variable ?g, distributed
+        left-outer join + null-marker filter."""
+        from twine_ray.stages.query import bgp_minus
+        from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
+
+        triples = kg_triples_dataset(
+            pages_from_documents(sf_dir), default_alias_rows()
+        ).materialize()
+        return bgp_minus(
+            triples,
+            [("?g", "?s", DC_TITLE, "?title")],
+            minus=[("?g", "?s2", DC_LANGUAGE, "en")],
+            select=["g", "title"],
+        )
+
+    def kg_path(sf_dir: str):
+        """Property-path ``p{1,2}`` analog with a free start
+        (stages/bfs.path_pairs): all (start, node) pairs within 2 hops
+        in the deterministic orders digraph with minimum hop count —
+        the recursive-CTE oracle unrolls the same bounded closure."""
+        import pandas as pd
+
+        from twine_ray.stages.bfs import path_pairs
+        from twine_ray.stages.grouped import bucketed_group_reduce
+
+        orders = relational._read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey"]
+        )
+
+        def _edges(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "u": (df["o_orderkey"] % 5000).astype("int64"),
+                "v": ((df["o_orderkey"] * 7 + df["o_custkey"]) % 5000)
+                .astype("int64"),
+            }).drop_duplicates()
+
+        edges = bucketed_group_reduce(
+            orders.map_batches(_edges, batch_format="pandas"),
+            ["u", "v"], lambda df: df.drop_duplicates(),
+        )
+        return path_pairs(edges, max_depth=2)
+
     return {
         # --- relational operator coverage (SURVEY.md §2, FIXTURES.md T5)
         "filter_project": relational.q_filter_project,
@@ -374,6 +504,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_union": kg_bgp_union,
         "kg_construct": kg_construct,
         "kg_bgp_agg": kg_bgp_agg,
+        "kg_bgp_modifiers": kg_bgp_modifiers,
+        "kg_ask": kg_ask,
+        "kg_describe": kg_describe,
+        "kg_bgp_values": kg_bgp_values,
+        "kg_bgp_minus": kg_bgp_minus,
+        "kg_path": kg_path,
         # --- multimodal plumbing (decode kernel is a declared sandbox
         # stand-in; schema/batching/actor plumbing is real — rows-only)
         "media_features": multimodal.q_media_features,
@@ -1495,6 +1631,99 @@ def oracle_sql() -> dict[str, str]:
                        ) AS "rank"
                 FROM s
             ) WHERE "rank" <= 5
+        """,
+        "kg_bgp_modifiers": """
+            -- DISTINCT -> ORDER BY DESC -> OFFSET/LIMIT over the
+            -- English-title BGP; titles are unique ASCII strings, so
+            -- binary collation (DuckDB default) = pyarrow byte order
+            -- and the sliced SET is deterministic
+            SELECT DISTINCT
+                   'Document ' || CAST(doc_id AS VARCHAR)
+                       || ' (' || source || ')' AS title
+            FROM documents
+            WHERE COALESCE(lang, '') = 'en' AND doc_id % 4 <> 3
+            ORDER BY title DESC LIMIT 10 OFFSET 5
+        """,
+        "kg_ask": """
+            -- ASK analog: any graph with an English dc:language
+            -- triple (emitted iff lang = 'en')
+            SELECT EXISTS(
+                SELECT 1 FROM documents WHERE COALESCE(lang, '') = 'en'
+            ) AS ask
+        """,
+        "kg_describe": """
+            -- DESCRIBE (predicate-scoped profile) of doc 5's graph:
+            -- exactly the kg_triples_meta reconstruction filtered to
+            -- the one resource
+            WITH d AS (
+                SELECT doc_id,
+                       'http://' || COALESCE(NULLIF(source, ''), 'docs')
+                           || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                           AS url,
+                       CASE WHEN doc_id % 4 = 3 THEN ''
+                            ELSE 'Document ' || CAST(doc_id AS VARCHAR)
+                                 || ' (' || source || ')' END AS title,
+                       COALESCE(lang, '') AS lang,
+                       strftime(TIMESTAMP '2024-06-01 00:00:00'
+                                + ((doc_id * 271) % 10000000)
+                                  * INTERVAL 1 SECOND,
+                                '%Y-%m-%dT%H:%M:%S') AS ts_iso
+                FROM documents WHERE doc_id = 5
+            )
+            SELECT url AS graph, url AS subj,
+                   'http://purl.org/dc/terms/title' AS pred,
+                   title AS obj, TRUE AS obj_is_lit, '' AS obj_dt,
+                   lang AS obj_lang, CAST(30 AS INTEGER) AS score
+            FROM d WHERE title <> ''
+            UNION ALL
+            SELECT url, url, 'http://purl.org/dc/terms/language',
+                   lang, TRUE, '', '', CAST(20 AS INTEGER)
+            FROM d WHERE lang <> ''
+            UNION ALL
+            SELECT url, url, 'http://purl.org/dc/terms/modified',
+                   ts_iso, TRUE,
+                   'http://www.w3.org/2001/XMLSchema#dateTime', '',
+                   CAST(20 AS INTEGER)
+            FROM d
+        """,
+        "kg_bgp_values": """
+            -- VALUES inline data: titles of exactly three graphs
+            SELECT 'http://' || COALESCE(NULLIF(source, ''), 'docs')
+                       || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                       AS g,
+                   'Document ' || CAST(doc_id AS VARCHAR)
+                       || ' (' || source || ')' AS title
+            FROM documents
+            WHERE doc_id IN (1, 2, 5) AND doc_id % 4 <> 3
+        """,
+        "kg_bgp_minus": """
+            -- MINUS on shared ?g: titled graphs without an English
+            -- dc:language triple (language triple emitted iff
+            -- lang <> '')
+            SELECT 'http://' || COALESCE(NULLIF(source, ''), 'docs')
+                       || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                       AS g,
+                   'Document ' || CAST(doc_id AS VARCHAR)
+                       || ' (' || source || ')' AS title
+            FROM documents
+            WHERE doc_id % 4 <> 3 AND COALESCE(lang, '') <> 'en'
+        """,
+        "kg_path": """
+            -- bounded property-path closure p{1,2} with free start:
+            -- min hop count per (start, node) pair, unrolled
+            WITH e AS (
+                SELECT DISTINCT o_orderkey % 5000 AS u,
+                       (o_orderkey * 7 + o_custkey) % 5000 AS v
+                FROM orders
+            ), p1 AS (
+                SELECT u AS start, v AS node, 1 AS d FROM e
+            ), p2 AS (
+                SELECT p1.start, e.v AS node, 2 AS d
+                FROM p1 JOIN e ON e.u = p1.node
+            )
+            SELECT start, node, CAST(MIN(d) AS BIGINT) AS min_depth
+            FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+            GROUP BY start, node
         """,
         "media_meta": """
             -- the media table is a pure function of media_id, so the

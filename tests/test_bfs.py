@@ -56,3 +56,63 @@ def test_bfs_unreachable_component_excluded(ray_session):
     edges = [(0, 1), (7, 8)]
     got = _as_dict(bfs_reachable(_edges_ds(edges), [0], 3))
     assert got == {0: 0, 1: 1}
+
+
+def _pairs_spec(edges, max_depth):
+    """Naive all-pairs bounded closure with min hop count.  The start
+    node is NOT pre-marked visited: a cycle returning to it records a
+    (s, s) pair — `?s p+ ?s` matches on cycles."""
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    out: dict = {}
+    for s in adj:
+        best: dict = {}
+        frontier = {s}
+        for d in range(1, max_depth + 1):
+            nxt = set()
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in best:
+                        best[v] = d
+                        nxt.add(v)
+            frontier = nxt
+        for n, d in best.items():
+            out[(s, n)] = d
+    return out
+
+
+def _pairs_dict(ds):
+    return {
+        (r["start"], r["node"]): r["min_depth"] for r in ds.take_all()
+    }
+
+
+def test_path_pairs_local_equals_distributed_and_spec(ray_session):
+    import random
+
+    from twine_ray.stages.bfs import path_pairs
+
+    rng = random.Random(7)
+    edges = list({
+        (rng.randrange(30), rng.randrange(30)) for _ in range(120)
+    })
+    want = _pairs_spec(edges, 3)
+    local = _pairs_dict(path_pairs(_edges_ds(edges), 3))
+    dist = _pairs_dict(path_pairs(_edges_ds(edges, parts=4), 3,
+                                  local_limit=0))
+    assert local == want
+    assert dist == want
+
+
+def test_path_pairs_min_depth_on_shortcut(ray_session):
+    """A node reachable at depths 1 AND 2 reports 1; cycles stay
+    bounded."""
+    from twine_ray.stages.bfs import path_pairs
+
+    edges = [(0, 1), (1, 2), (0, 2), (2, 0)]
+    got = _pairs_dict(path_pairs(_edges_ds(edges), 2))
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 1
+    assert got[(1, 2)] == 1 and got[(1, 0)] == 2
+    assert got[(2, 0)] == 1 and got[(2, 1)] == 2
+    assert (0, 0) in got and got[(0, 0)] == 2  # 0->2->0

@@ -553,3 +553,153 @@ def test_cli_bgp(store, ray_session, capsys):
     ti = full[full["pred"] == DC_TITLE]
     want = lg.merge(ti, on=["graph", "subj"])
     assert len(lines) - 1 == len(want)
+
+
+def test_bgp_solution_modifiers(ray_session):
+    """DISTINCT -> ORDER BY -> OFFSET/LIMIT in SPARQL algebra order."""
+    import pandas as pd
+
+    from twine_ray.stages.query import bgp_match
+
+    ds = _triples_ds({
+        "graph": ["g"] * 6,
+        "subj": ["s1", "s2", "s3", "s4", "s5", "s6"],
+        "pred": ["p"] * 6,
+        "obj": ["b", "a", "c", "b", "a", "d"],
+    })
+    got = bgp_match(ds, [("?s", "p", "?o")], select=["o"],
+                    distinct=True, order_by=["o"]).to_pandas()
+    assert list(got["o"]) == ["a", "b", "c", "d"]
+    got = bgp_match(ds, [("?s", "p", "?o")], select=["o"],
+                    distinct=True, order_by=[("o", "desc")],
+                    limit=2, offset=1).to_pandas()
+    assert sorted(got["o"]) == ["b", "c"]
+    # bag semantics without distinct: duplicates survive
+    got = bgp_match(ds, [("?s", "p", "?o")], select=["o"],
+                    order_by=["o"], limit=3).to_pandas()
+    assert list(got["o"]) == ["a", "a", "b"]
+    with pytest.raises(ValueError, match="offset requires limit"):
+        bgp_match(ds, [("?s", "p", "?o")], select=["o"], offset=2)
+    with pytest.raises(ValueError, match="unselected"):
+        bgp_match(ds, [("?s", "p", "?o")], select=["o"],
+                  order_by=["s"]).to_pandas()
+    del pd
+
+
+def test_bgp_values(ray_session):
+    """VALUES inline data: OR of rows, AND within a row, None=UNDEF."""
+    from twine_ray.stages.query import bgp_match
+
+    ds = _triples_ds({
+        "graph": ["g"] * 4,
+        "subj": ["s1", "s2", "s3", "s4"],
+        "pred": ["p"] * 4,
+        "obj": ["a", "b", "c", "a"],
+    })
+    got = bgp_match(ds, [("?s", "p", "?o")], values=[
+        {"s": "s1", "o": "a"},     # matches s1 only
+        {"s": "s3", "o": "zzz"},   # matches nothing (AND fails)
+        {"o": "b"},                # matches s2
+    ]).to_pandas()
+    assert sorted(got["s"]) == ["s1", "s2"]
+    # UNDEF row matches everything
+    got = bgp_match(ds, [("?s", "p", "?o")],
+                    values=[{"s": None}]).to_pandas()
+    assert len(got) == 4
+    with pytest.raises(ValueError, match="unbound"):
+        bgp_match(ds, [("?s", "p", "?o")], values=[{"x": "v"}])
+
+
+def test_bgp_ask(ray_session):
+    from twine_ray.stages.query import bgp_ask
+
+    ds = _triples_ds({
+        "graph": ["g"] * 2,
+        "subj": ["s1", "s2"],
+        "pred": ["p", "q"],
+        "obj": ["a", "b"],
+    })
+    assert bgp_ask(ds, [("?s", "p", "?o")]).to_pandas()["ask"][0]
+    assert not bgp_ask(ds, [("?s", "nope", "?o")]).to_pandas()["ask"][0]
+    # filters participate in the probe
+    assert not bgp_ask(ds, [("?s", "p", "?o")],
+                       filters=[("o", "==", "zzz")]) \
+        .to_pandas()["ask"][0]
+
+
+def test_bgp_minus(ray_session):
+    """MINUS removes solutions compatible on SHARED vars; disjoint
+    domains remove nothing (SPARQL semantics); empty minus side is a
+    no-op."""
+    from twine_ray.stages.query import bgp_minus
+
+    ds = _triples_ds({
+        "graph": ["g"] * 5,
+        "subj": ["s1", "s2", "s3", "s1", "s3"],
+        "pred": ["p", "p", "p", "flag", "flag"],
+        "obj": ["a", "b", "c", "x", "y"],
+    })
+    got = bgp_minus(ds, [("?s", "p", "?o")],
+                    minus=[("?s", "flag", "?f")]).to_pandas()
+    assert sorted(got["s"]) == ["s2"]
+    # disjoint domains: nothing removed
+    got = bgp_minus(ds, [("?s", "p", "?o")],
+                    minus=[("?z", "flag", "?f")],
+                    select=["s"]).to_pandas()
+    assert sorted(got["s"]) == ["s1", "s2", "s3"]
+    # empty minus side: nothing removed
+    got = bgp_minus(ds, [("?s", "p", "?o")],
+                    minus=[("?s", "nope", "?f")]).to_pandas()
+    assert sorted(got["s"]) == ["s1", "s2", "s3"]
+
+
+def test_bgp_minus_null_shared_binding_survives(ray_session):
+    """A solution whose shared var is null (unmatched OPTIONAL) is
+    incompatible with every minus row and survives."""
+    from twine_ray.stages.query import bgp_minus
+
+    ds = _triples_ds({
+        "graph": ["g"] * 4,
+        "subj": ["s1", "s2", "s1", "t1"],
+        "pred": ["p", "p", "link", "flag"],
+        "obj": ["a", "b", "t1", "x"],
+    })
+    got = bgp_minus(
+        ds,
+        [("?s", "p", "?o")],
+        optional=[("?s", "link", "?t")],
+        minus=[("?t", "flag", "?f")],
+    ).to_pandas()
+    # s1's ?t = t1 is flagged -> removed; s2's ?t is null -> survives
+    assert sorted(got["s"]) == ["s2"]
+
+
+def test_describe_resource(store, ray_session):
+    """DESCRIBE over the store dir (bucket-pruned scans) equals the
+    in-memory filter path, covers both positions, and the predicate
+    profile restricts it."""
+    import pandas as pd
+
+    from twine_ray.stages.materialize import read_triple_store
+    from twine_ray.stages.query import describe_resource
+    from twine_ray.state.rulebase import DC_TITLE
+
+    full = _full(store)
+    # a subject that carries a title triple (so the scoped profile is
+    # non-empty and keeps its schema through to_pandas)
+    iri = full.loc[full["pred"] == DC_TITLE, "subj"].iloc[0]
+    got_store = _canon(describe_resource(store, iri).to_pandas())
+    ds = read_triple_store(store).drop_columns(["graph_bucket"])
+    got_ds = _canon(describe_resource(ds, iri).to_pandas())
+    pd.testing.assert_frame_equal(
+        got_store[sorted(got_store.columns)],
+        got_ds[sorted(got_ds.columns)],
+    )
+    want = full[
+        (full["subj"] == iri)
+        | ((full["obj"] == iri) & ~full["obj_is_lit"])
+    ]
+    assert len(got_store) == len(want)
+    scoped = describe_resource(store, iri, preds={DC_TITLE}).to_pandas()
+    assert set(scoped["pred"]) <= {DC_TITLE}
+    assert len(scoped) == (want["pred"] == DC_TITLE).sum()

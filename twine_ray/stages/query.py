@@ -269,8 +269,102 @@ def _compile_filters(filters, known_vars):
     return _mask
 
 
+def _parse_values(values, known_vars):
+    """Validate VALUES rows: list of {var: string|None}; None = UNDEF
+    (matches anything).  Every var must be bound by the patterns."""
+    rows = []
+    for row in values:
+        checked = {}
+        for var, val in row.items():
+            var = var.lstrip("?")
+            if var not in known_vars:
+                raise ValueError(f"values references unbound "
+                                 f"variable: ?{var}")
+            checked[var] = val
+        if checked:
+            rows.append(checked)
+    if not rows:
+        raise ValueError("values needs at least one non-empty row")
+    return rows
+
+
+def _apply_values(acc, rows):
+    """SPARQL VALUES analog (inline data): keep solutions compatible
+    with at least one values row — a vectorized OR-of-ANDs mask, no
+    shuffle (the inline table is tiny by contract)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _mask(t: pa.Table):
+        total = None
+        for row in rows:
+            m = None
+            for var, val in row.items():
+                if val is None:  # UNDEF
+                    continue
+                e = pc.fill_null(pc.equal(t[var], val), False)
+                m = e if m is None else pc.and_(m, e)
+            if m is None:  # all-UNDEF row matches everything
+                m = pa.array([True] * len(t))
+            total = m if total is None else pc.or_(total, m)
+        return total
+
+    return acc.map_batches(
+        lambda t: t.filter(_mask(t)), batch_format="pyarrow"
+    )
+
+
+def _apply_modifiers(ds, out_vars, distinct=False, order_by=None,
+                     limit=None, offset=0):
+    """SPARQL solution modifiers in algebra order: DISTINCT -> ORDER
+    BY -> OFFSET/LIMIT.  DISTINCT is a bucketed exchange (complete key
+    groups per bucket -> global dedup, streaming).  ORDER BY + LIMIT
+    materializes only the bounded head (offset+limit rows — LIMIT
+    queries are small by contract; an unbounded ORDER BY sorts
+    distributed and stays lazy)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    if distinct:
+        ds = bucketed_group_reduce(
+            ds, list(out_vars),
+            lambda df: df.drop_duplicates(),
+        )
+    if order_by:
+        keys, desc = [], []
+        for spec in order_by:
+            if isinstance(spec, str):
+                var, d = spec, False
+            else:
+                var, dstr = spec
+                d = str(dstr).lower() == "desc"
+            var = var.lstrip("?")
+            if var not in out_vars:
+                raise ValueError(f"order_by names an unselected "
+                                 f"variable: ?{var}")
+            keys.append(var)
+            desc.append(d)
+        ds = ds.sort(keys, descending=desc)
+    if limit is not None:
+        head = ds.limit(offset + limit)
+        if offset:
+            rows = head.take_all()  # bounded: offset+limit rows
+            tbl = pa.Table.from_pylist(
+                rows[offset:],
+                schema=pa.schema([(v, pa.string()) for v in out_vars]),
+            )
+            return rd.from_arrow(tbl)
+        return head
+    elif offset:
+        raise ValueError("offset requires limit (bounded slice)")
+    return ds
+
+
 def bgp_match(source, patterns, select: list[str] | None = None,
-              optional=(), filters=()):
+              optional=(), filters=(), values=None, distinct=False,
+              order_by=None, limit=None, offset=0):
     """SPARQL basic-graph-pattern analog over the triple store — the
     Spindle lookup-endpoint shape (reference: Twine consumers query
     the SPARQL store Spindle populates; SURVEY §1.1).
@@ -301,6 +395,18 @@ def bgp_match(source, patterns, select: list[str] | None = None,
     ``value`` is a literal string or another '?var'; comparisons are
     lexicographic over the term strings.  A null binding (unmatched
     OPTIONAL) fails every test except ``!bound``.
+
+    ``values`` is the SPARQL VALUES analog (inline data): a list of
+    ``{var: string-or-None}`` rows; a solution survives if it is
+    compatible with at least one row (None = UNDEF, matches anything).
+    Applied as one vectorized OR-of-ANDs mask — no shuffle.
+
+    Solution modifiers (SPARQL algebra order — DISTINCT, then ORDER
+    BY, then OFFSET/LIMIT): ``distinct=True`` dedups solutions via one
+    bucketed exchange; ``order_by`` is a list of ``var`` or
+    ``(var, "desc")``; ``limit``/``offset`` slice the ordered head
+    (only offset+limit rows materialize — LIMIT queries are small by
+    contract; ``offset`` requires ``limit``).
 
     Returns a Dataset of bindings, one column per variable (``select``
     projects/orders a subset)."""
@@ -466,9 +572,9 @@ def bgp_match(source, patterns, select: list[str] | None = None,
         acc_rows = acc.count()
         acc_vars.extend(new_vars)
     if acc is None:  # all patterns were ASK guards that matched
-        if filters:
-            raise ValueError("filters need at least one variable "
-                             "pattern")
+        if filters or values:
+            raise ValueError("filters/values need at least one "
+                             "variable pattern")
         return rd.from_arrow(pa.table({"ask": pa.array([True])})) \
             if not out_vars else _empty()
     if filters:
@@ -476,10 +582,15 @@ def bgp_match(source, patterns, select: list[str] | None = None,
         acc = acc.map_batches(
             lambda t: t.filter(mask_fn(t)), batch_format="pyarrow",
         )
-    return acc.map_batches(
+    if values is not None:
+        acc = _apply_values(acc, _parse_values(values, acc_vars))
+    out = acc.map_batches(
         lambda t: pa.table({v: t[v] for v in out_vars}),
         batch_format="pyarrow",
     )
+    return _apply_modifiers(out, out_vars, distinct=distinct,
+                            order_by=order_by, limit=limit,
+                            offset=offset)
 
 
 def bgp_construct(source, patterns, template, optional=(), filters=()):
@@ -688,3 +799,149 @@ def bgp_union(source, groups, select: list[str] | None = None):
     for r in aligned[1:]:
         out = out.union(r)
     return out
+
+
+def bgp_ask(source, patterns, optional=(), filters=(), values=None):
+    """SPARQL ASK analog: does at least one solution exist?  Returns a
+    one-row Dataset ``{ask: bool}``.  The probe is ``limit(1)`` over
+    the lazy solution stream — the streaming executor stops pulling
+    blocks once one row lands, so a match on an early block never
+    scans the store."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    binds = bgp_match(source, patterns, optional=optional,
+                      filters=filters, values=values)
+    # all-ASK-guard patterns yield a 1-row {ask: True} on match and a
+    # zero-column empty table otherwise; variable patterns yield
+    # solutions — in both cases "any row" is the answer
+    n = binds.limit(1).count()
+    return rd.from_arrow(pa.table({"ask": pa.array([n > 0])}))
+
+
+def bgp_minus(source, patterns, minus, optional=(), filters=(),
+              select: list[str] | None = None):
+    """SPARQL MINUS analog: remove solutions compatible with some
+    solution of the ``minus`` pattern group on their SHARED variables.
+    Per the SPARQL spec, disjoint domains remove nothing (the result
+    is the left side unchanged); a null (unmatched-OPTIONAL) shared
+    binding never matches a minus row, so such solutions survive —
+    hash-join semantics and SPARQL compatibility agree there.
+
+    Scale shape: the minus side is projected to the shared variables
+    and deduplicated (bucketed exchange), then one distributed
+    left-outer hash join marks compatible solutions and a vectorized
+    filter drops them — no driver-side state."""
+    import pyarrow as pa
+
+    from twine_ray.stages.grouped import (
+        bucketed_group_reduce,
+        default_num_partitions,
+    )
+
+    acc = bgp_match(source, patterns, optional=optional,
+                    filters=filters)
+    acc_vars = list(acc.schema().names)
+    m = bgp_match(source, minus)
+    shared = [v for v in acc_vars if v in m.schema().names]
+    out_vars = acc_vars if select is None else [
+        v.lstrip("?") for v in select
+    ]
+    unknown = [v for v in out_vars if v not in acc_vars]
+    if unknown:
+        raise ValueError(f"select names unbound variables: {unknown}")
+
+    def _project(t: pa.Table) -> pa.Table:
+        return pa.table({v: t[v] for v in out_vars})
+
+    if not shared:  # disjoint domains: MINUS removes nothing
+        return acc.map_batches(_project, batch_format="pyarrow")
+
+    ren = {v: f"__m_{v}" for v in shared}
+    mk = bucketed_group_reduce(
+        m.map_batches(
+            lambda t: pa.table({ren[v]: t[v] for v in shared}),
+            batch_format="pyarrow",
+        ),
+        list(ren.values()),
+        lambda df: df.drop_duplicates(),
+    ).map_batches(
+        lambda df: df.assign(__m=1), batch_format="pandas"
+    ).materialize()
+    n_m = mk.count()
+    if n_m == 0:
+        return acc.map_batches(_project, batch_format="pyarrow")
+    left = acc.materialize()
+    n_parts = max(2, default_num_partitions(
+        hi=32, rows=max(left.count(), n_m), rows_per_partition=100_000
+    ))
+    joined = left.repartition(n_parts).materialize().join(
+        mk.repartition(n_parts).materialize(),
+        join_type="left_outer", num_partitions=n_parts,
+        on=tuple(shared), right_on=tuple(ren[v] for v in shared),
+    )
+
+    def _keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_null(t["__m"]))
+        return _project(t)
+
+    return joined.map_batches(_keep, batch_format="pyarrow")
+
+
+def describe_resource(source, iri: str, preds=None):
+    """SPARQL DESCRIBE analog: every store triple where the resource
+    is the subject, plus every triple pointing AT it (object position,
+    IRIs only) — a concise-bounded-description profile.  ``preds``
+    optionally restricts the predicate set (DESCRIBE profiles are
+    implementation-defined by the SPARQL spec; the predicate-scoped
+    profile is what Spindle's entity lookups return).
+
+    Over a store directory both scans are bound-term pruned
+    (``match_triples`` pushes subj/obj equality into Parquet row-group
+    statistics); over an in-memory Dataset it is one streaming filter
+    pass.  No shuffle — the store is already exact-deduplicated at
+    materialize time, and the two scans are made disjoint by excluding
+    subj-matches from the object scan."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pred_arr = (
+        pa.array(sorted(preds), type=pa.string())
+        if preds is not None else None
+    )
+
+    def _pred_mask(t: pa.Table, base):
+        if pred_arr is None:
+            return base
+        return pc.and_(base, pc.is_in(t["pred"], value_set=pred_arr))
+
+    if isinstance(source, str):
+        subj_ds = match_triples(source, subj=iri)
+        obj_ds = match_triples(source, obj=iri)
+
+        def _subj_side(t: pa.Table) -> pa.Table:
+            return t.filter(_pred_mask(t, pc.equal(t["subj"], iri)))
+
+        def _obj_side(t: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.and_(pc.equal(t["obj"], iri),
+                        pc.invert(t["obj_is_lit"])),
+                pc.invert(pc.equal(t["subj"], iri)),
+            )
+            return t.filter(_pred_mask(t, m))
+
+        return subj_ds.map_batches(
+            _subj_side, batch_format="pyarrow"
+        ).union(obj_ds.map_batches(_obj_side, batch_format="pyarrow"))
+
+    def _both(t: pa.Table) -> pa.Table:
+        m = pc.or_(
+            pc.equal(t["subj"], iri),
+            pc.and_(pc.equal(t["obj"], iri),
+                    pc.invert(t["obj_is_lit"])),
+        )
+        return t.filter(_pred_mask(t, m))
+
+    return source.map_batches(_both, batch_format="pyarrow")
