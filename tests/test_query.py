@@ -703,3 +703,40 @@ def test_describe_resource(store, ray_session):
     scoped = describe_resource(store, iri, preds={DC_TITLE}).to_pandas()
     assert set(scoped["pred"]) <= {DC_TITLE}
     assert len(scoped) == (want["pred"] == DC_TITLE).sum()
+
+
+def test_cli_ask_describe_and_modifiers(store, ray_session, capsys):
+    from twine_ray.cli import main
+    from twine_ray.state.rulebase import DC_TITLE
+
+    full = _full(store)
+    # ask: true -> exit 0, false -> exit 1
+    rc = main(["ask", store, "--pattern", f"?g ?s {DC_TITLE} ?t"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "true"
+    rc = main(["ask", store, "--pattern", "?g ?s http://no.such/p ?t"])
+    assert rc == 1
+    assert capsys.readouterr().out.strip() == "false"
+    # describe prints the resource's triples as N-Quads
+    iri = full.loc[full["pred"] == DC_TITLE, "subj"].iloc[0]
+    rc = main(["describe", store, iri])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    want = full[
+        (full["subj"] == iri)
+        | ((full["obj"] == iri) & ~full["obj_is_lit"])
+    ]
+    assert len(lines) == len(want)
+    assert all(iri in ln for ln in lines)
+    # bgp modifiers: distinct + ordered + limited
+    rc = main([
+        "bgp", store,
+        "--pattern", f"?g ?s {DC_TITLE} ?title",
+        "--distinct", "--order-by", "?title desc", "--limit", "3",
+    ])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    titles = [ln.split("\t")[-1] for ln in lines[1:]]
+    want_titles = sorted(set(full.loc[full["pred"] == DC_TITLE, "obj"]),
+                         reverse=True)[:3]
+    assert titles == want_titles

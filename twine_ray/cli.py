@@ -223,11 +223,55 @@ def cmd_bgp(args) -> int:
                   file=sys.stderr)
             return 2
         flts.append(tuple(terms))
-    df = bgp_match(args.store, pats, optional=opts,
-                   filters=flts).to_pandas()
+    order_by = []
+    for o in getattr(args, "order_by", None) or []:
+        terms = o.split()
+        order_by.append(
+            (terms[0], terms[1]) if len(terms) == 2 else terms[0]
+        )
+    df = bgp_match(
+        args.store, pats, optional=opts, filters=flts,
+        distinct=getattr(args, "distinct", False),
+        order_by=order_by or None,
+        limit=getattr(args, "limit", None),
+        offset=getattr(args, "offset", 0) or 0,
+    ).to_pandas()
     print("\t".join(df.columns))
     for row in df.itertuples(index=False):
         print("\t".join(str(v) for v in row))
+    return 0
+
+
+def cmd_ask(args) -> int:
+    """SPARQL ASK analog: prints 'true'/'false', exit code 0/1 (the
+    twine-CLI-style boolean probe)."""
+    from twine_ray.stages.query import bgp_ask
+
+    _ray_session()
+    pats = []
+    for p in args.pattern:
+        terms = [None if t == "_" else t for t in p.split()]
+        if len(terms) not in (3, 4):
+            print(f"bad pattern (need 3 or 4 terms): {p!r}",
+                  file=sys.stderr)
+            return 2
+        pats.append(tuple(terms))
+    ok = bool(bgp_ask(args.store, pats).take_all()[0]["ask"])
+    print("true" if ok else "false")
+    return 0 if ok else 1
+
+
+def cmd_describe(args) -> int:
+    """SPARQL DESCRIBE analog: prints the resource's concise bounded
+    description as N-Quads."""
+    from twine_ray.sources.nquads import triple_row_to_nquad
+    from twine_ray.stages.query import describe_resource
+
+    _ray_session()
+    preds = set(args.pred) if args.pred else None
+    ds = describe_resource(args.store, args.iri, preds=preds)
+    for row in ds.to_pandas().to_dict("records"):
+        print(triple_row_to_nquad(row))
     return 0
 
 
@@ -349,7 +393,30 @@ def main(argv=None) -> int:
         help="FILTER spec '?var op value' (op: == != < <= > >= regex "
              "contains bound !bound)",
     )
+    pb.add_argument("--distinct", action="store_true",
+                    help="deduplicate solutions (SPARQL DISTINCT)")
+    pb.add_argument(
+        "--order-by", action="append", dest="order_by",
+        help="'?var [desc]' — may repeat for multi-key sort",
+    )
+    pb.add_argument("--limit", type=int)
+    pb.add_argument("--offset", type=int, default=0)
     pb.set_defaults(fn=cmd_bgp)
+
+    pa_ = sub.add_parser("ask", help="SPARQL ASK analog (exit 0/1)")
+    pa_.add_argument("store")
+    pa_.add_argument("--pattern", action="append", required=True,
+                     help="'graph subj pred obj' (or 3 terms)")
+    pa_.set_defaults(fn=cmd_ask)
+
+    pdsc = sub.add_parser(
+        "describe", help="concise bounded description of a resource"
+    )
+    pdsc.add_argument("store")
+    pdsc.add_argument("iri")
+    pdsc.add_argument("--pred", action="append",
+                      help="restrict to these predicates (profile)")
+    pdsc.set_defaults(fn=cmd_describe)
 
     pe = sub.add_parser("export", help="dump a triple store to RDF")
     pe.add_argument("store", help="store dir (e.g. <out>/store)")
