@@ -34,10 +34,13 @@ driver's rows-only check is backed by deeper verification in tests/:
 - doc_langid / doc_quality / doc_fingerprints: heuristic scores pinned
   to their frozen scalar specs (tests/test_grouped_text.py); the
   integer feature counts ARE oracled as doc_quality_counts.
-- media_features / media_frames: decode kernel is a declared sandbox
-  stand-in; plumbing pinned by tests/test_multimodal.py; the metadata
-  and frame-offset slices ARE oracled (media_meta,
-  media_frame_offsets — DuckDB generate_series reconstruction).
+- media_features / media_frames: the generic (compressed-format)
+  decode kernel is a declared sandbox stand-in; plumbing pinned by
+  tests/test_multimodal.py; the metadata and frame-offset slices ARE
+  oracled (media_meta, media_frame_offsets), and the REAL decode /
+  resize / feature kernels for library-free formats (BMP via numpy,
+  WAV via stdlib wave) ARE oracled exactly (media_image_stats,
+  media_resize_stats, media_audio_stats).
 """
 
 from __future__ import annotations
@@ -516,6 +519,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": multimodal.q_media_frames,
         "media_meta": multimodal.q_media_meta,
         "media_frame_offsets": multimodal.q_media_frame_offsets,
+        # REAL codecs (BMP via numpy, WAV via stdlib wave): decode /
+        # resize / feature kernels are actual format parsers, and the
+        # closed-form pixel/sample generators make the sums SQL-exact
+        "media_image_stats": multimodal.q_media_image_stats,
+        "media_resize_stats": multimodal.q_media_resize_stats,
+        "media_audio_stats": multimodal.q_media_audio_stats,
     }
 
 
@@ -1760,5 +1769,84 @@ def oracle_sql() -> dict[str, str]:
             SELECT x.vec_id AS a, y.vec_id AS b
             FROM v x JOIN v y ON x.vec_id < y.vec_id
             WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
+        """,
+        "media_image_stats": """
+            -- REAL BMP decode kernel (multimodal.BmpCodec): pixel
+            -- value at (x, y) channel ch = a*x + b*y + c_ch (< 256 by
+            -- construction, no modulo wrap), so per-channel sums have
+            -- the closed form  h*a*sum(x) + w*b*sum(y) + w*h*c_ch
+            WITH m AS (
+                SELECT i AS media_id,
+                       16 + (i % 8) * 8 AS w,
+                       16 + ((i // 2) % 5) * 12 AS h,
+                       i % 3 AS a,
+                       (i // 3) % 2 AS b
+                FROM generate_series(0, 299) AS g(i)
+                WHERE i % 2 = 0
+            )
+            SELECT media_id,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(h*a*((w-1)*w//2) + w*b*((h-1)*h//2)
+                        + w*h*(media_id % 50) AS BIGINT) AS sum_r,
+                   CAST(h*a*((w-1)*w//2) + w*b*((h-1)*h//2)
+                        + w*h*((media_id + 83) % 50) AS BIGINT) AS sum_g,
+                   CAST(h*a*((w-1)*w//2) + w*b*((h-1)*h//2)
+                        + w*h*((media_id + 166) % 50) AS BIGINT) AS sum_b
+            FROM m
+        """,
+        "media_resize_stats": """
+            -- REAL nearest-neighbor resize to 32x24: src index =
+            -- (dst * src_dim) // dst_dim, so the resized sums are
+            -- separable integer index sums the oracle evaluates with
+            -- generate_series
+            WITH m AS (
+                SELECT i AS media_id,
+                       16 + (i % 8) * 8 AS w,
+                       16 + ((i // 2) % 5) * 12 AS h,
+                       i % 3 AS a,
+                       (i // 3) % 2 AS b
+                FROM generate_series(0, 299) AS g(i)
+                WHERE i % 2 = 0
+            ), sx AS (
+                SELECT m.media_id, SUM((t.x * m.w) // 32) AS sx
+                FROM m CROSS JOIN generate_series(0, 31) AS t(x)
+                GROUP BY m.media_id
+            ), sy AS (
+                SELECT m.media_id, SUM((t.y * m.h) // 24) AS sy
+                FROM m CROSS JOIN generate_series(0, 23) AS t(y)
+                GROUP BY m.media_id
+            )
+            SELECT m.media_id,
+                   CAST(32 AS BIGINT) AS width,
+                   CAST(24 AS BIGINT) AS height,
+                   CAST(24*m.a*sx.sx + 32*m.b*sy.sy
+                        + 768*(m.media_id % 50) AS BIGINT) AS sum_r,
+                   CAST(24*m.a*sx.sx + 32*m.b*sy.sy
+                        + 768*((m.media_id + 83) % 50) AS BIGINT)
+                       AS sum_g,
+                   CAST(24*m.a*sx.sx + 32*m.b*sy.sy
+                        + 768*((m.media_id + 166) % 50) AS BIGINT)
+                       AS sum_b
+            FROM m JOIN sx USING (media_id) JOIN sy USING (media_id)
+        """,
+        "media_audio_stats": """
+            -- REAL WAV decode kernel (stdlib wave, PCM16): sample t =
+            -- ((id*31 + t*17) % 199) - 99; exact integer amplitude
+            -- sums over the first n samples
+            WITH m AS (
+                SELECT i AS media_id, 1000 + (i % 7) * 500 AS n
+                FROM generate_series(0, 299) AS g(i)
+                WHERE i % 2 = 1
+            )
+            SELECT media_id,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(SUM(ABS(((media_id*31 + t.t*17) % 199) - 99))
+                        AS BIGINT) AS sum_abs,
+                   CAST(MAX(ABS(((media_id*31 + t.t*17) % 199) - 99))
+                        AS BIGINT) AS peak
+            FROM m CROSS JOIN generate_series(0, 3999) AS t(t)
+            WHERE t.t < n
+            GROUP BY media_id, n
         """,
     }

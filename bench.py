@@ -195,6 +195,10 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     picks["kg_bgp"] = _qs["kg_bgp"]
     picks["kg_bgp_agg"] = _qs["kg_bgp_agg"]
     picks["sample_stratified"] = _qs["sample_stratified"]
+    picks["embed_kmeans"] = _qs["embed_kmeans"]
+    picks["embed_semdedup"] = _qs["embed_semdedup"]
+    picks["dedup_passage"] = _qs["dedup_passage"]
+    picks["kg_path"] = _qs["kg_path"]
     out = {}
     for name, fn in picks.items():
         t0 = time.perf_counter()
