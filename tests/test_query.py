@@ -740,3 +740,35 @@ def test_cli_ask_describe_and_modifiers(store, ray_session, capsys):
     want_titles = sorted(set(full.loc[full["pred"] == DC_TITLE, "obj"]),
                          reverse=True)[:3]
     assert titles == want_titles
+
+
+def test_bgp_join_order_invariance(store, ray_session):
+    """The greedy planner makes results independent of the written
+    pattern order (inner bag joins commute) — every permutation of a
+    3-pattern BGP returns the same bag."""
+    import itertools
+
+    import pandas as pd
+
+    from twine_ray.stages.query import bgp_match
+    from twine_ray.state.rulebase import (
+        DC_LANGUAGE,
+        DC_MODIFIED,
+        DC_TITLE,
+    )
+
+    pats = [
+        ("?g", "?s", DC_LANGUAGE, "?lang"),
+        ("?g", "?s", DC_TITLE, "?title"),
+        ("?g", "?s", DC_MODIFIED, "?ts"),
+    ]
+    ref = None
+    for perm in itertools.permutations(pats):
+        got = _canon(bgp_match(
+            store, list(perm), select=["g", "title", "lang", "ts"]
+        ).to_pandas())
+        if ref is None:
+            ref = got
+        else:
+            pd.testing.assert_frame_equal(got, ref)
+    assert len(ref) > 0

@@ -376,8 +376,11 @@ def bgp_match(source, patterns, select: list[str] | None = None,
     4-tuples with '?var' variables; patterns join on their shared
     variables (hash joins sized to the data), bag semantics like
     SPARQL.  Patterns with NO variables act as ASK guards: zero
-    matches empties the result.  Patterns join in the given order —
-    put the most selective pattern first.
+    matches empties the result.  Join order is PLANNED, not written:
+    patterns join greedily from the smallest binding set, always
+    preferring one that shares a variable with the solutions so far —
+    user pattern order never causes an avoidable cardinality blowup
+    (inner bag joins commute, so results are order-independent).
 
     ``optional`` patterns are the SPARQL OPTIONAL analog: each
     left-outer-joins onto the required solutions after all required
@@ -441,10 +444,15 @@ def bgp_match(source, patterns, select: list[str] | None = None,
             return match_triples(source, **bound)
         return source
 
-    acc = None
-    acc_vars: list[str] = []
-    acc_rows = 0
-    for bound, variables in parsed:
+    # evaluate every required pattern once (they must materialize for
+    # the joins anyway), then GREEDY JOIN ORDER: start from the
+    # smallest binding set and repeatedly join the smallest remaining
+    # set that shares a variable with the accumulated solutions —
+    # keeps intermediate join cardinality low regardless of how the
+    # user ordered the patterns, and never introduces a cartesian
+    # product unless the pattern graph is genuinely disconnected
+    pending: list[list] = []
+    for idx, (bound, variables) in enumerate(parsed):
         binds = _pattern_bindings(_scan(bound), bound, variables)
         if not variables:  # ASK guard
             if binds.count() == 0:
@@ -454,11 +462,28 @@ def bgp_match(source, patterns, select: list[str] | None = None,
         n = binds.count()
         if n == 0:
             return _empty()
+        pending.append(
+            [n, idx, binds, list(dict.fromkeys(variables.values()))]
+        )
+
+    acc = None
+    acc_vars: list[str] = []
+    acc_rows = 0
+    while pending:
         if acc is None:
-            acc, acc_vars, acc_rows = binds, list(dict.fromkeys(
-                variables.values())), n
+            pick = min(pending, key=lambda e: (e[0], e[1]))
+        else:
+            sharing = [
+                e for e in pending
+                if any(v in acc_vars for v in e[3])
+            ]
+            pick = min(sharing or pending, key=lambda e: (e[0], e[1]))
+        pending.remove(pick)
+        n, _, binds, pat_vars = pick
+        if acc is None:
+            acc, acc_vars, acc_rows = binds, list(pat_vars), n
             continue
-        shared = [v for v in acc_vars if v in variables.values()]
+        shared = [v for v in acc_vars if v in pat_vars]
         n_parts = max(2, default_num_partitions(
             hi=32, rows=max(acc_rows, n), rows_per_partition=100_000
         ))
@@ -510,7 +535,7 @@ def bgp_match(source, patterns, select: list[str] | None = None,
         acc_rows = acc.count()
         if acc_rows == 0:
             return _empty()
-        for v in variables.values():
+        for v in pat_vars:
             if v not in acc_vars:
                 acc_vars.append(v)
     for bound, variables in parsed_opt:
