@@ -102,3 +102,23 @@ def test_semdedup_removal_is_witnessed(ray_session, micro):
                 witnessed = True
                 break
         assert witnessed == (b in removed), b
+
+
+def test_semdedup_broadcast_equals_antijoin_fallback(
+    ray_session, micro, monkeypatch
+):
+    """Force the dup-dense anti-join path (monkeypatched broadcast
+    valve) and assert it equals the broadcast path — the removed set
+    must never need the driver."""
+    from twine_ray.pipelines import cluster
+
+    broadcast_kept = sorted(
+        cluster.q_embed_semdedup(SF).to_pandas()["vec_id"].tolist()
+    )
+    monkeypatch.setattr(cluster, "SEMDEDUP_BROADCAST_LIMIT", 0)
+    fallback_kept = sorted(
+        cluster.q_embed_semdedup(SF).to_pandas()["vec_id"].tolist()
+    )
+    assert fallback_kept == broadcast_kept
+    ids, X = micro
+    assert fallback_kept == cluster.semdedup_spec(ids, X, 8)

@@ -47,6 +47,11 @@ DEFAULT_K = 8
 DEFAULT_ITERS = 2
 # semantic-dup threshold t = 0.4 as the exact rational t^2 = NUM/DEN
 SEM_NUM, SEM_DEN = 4, 25
+# removed-id sets up to this size broadcast (ray.put once, filtered in
+# map_batches — zero shuffle); above it the distributed anti-join
+# fallback runs, so a dup-dense corpus never materializes on the
+# driver (the CANON_BROADCAST_LIMIT valve pattern)
+SEMDEDUP_BROADCAST_LIMIT = 2_000_000
 
 
 def _emb_micro(sf_dir: str):
@@ -309,34 +314,66 @@ def semdedup(sf_dir: str, k: int = DEFAULT_K):
         assigned, ["cluster"], _semdedup_group,
         num_buckets=max(2, min(16, k)),
         partial=False,  # pair test needs COMPLETE clusters
+    ).materialize()
+    n_removed = removed.count()
+    if n_removed <= SEMDEDUP_BROADCAST_LIMIT:
+        # clean-corpus fast path: broadcast the removed-id set, zero
+        # further shuffle
+        from twine_ray.state.broadcast import broadcast as _bc
+
+        removed_ids = {int(r["vec_id"]) for r in removed.take_all()}
+        rref = _bc(np.asarray(sorted(removed_ids), dtype=np.int64))
+
+        class _KeepFilter:
+            def __init__(self, ref) -> None:
+                from twine_ray.state.broadcast import resolve
+
+                self.removed = resolve(ref)
+
+            def __call__(self, t):
+                import pyarrow.compute as pc
+
+                mask = pc.invert(pc.is_in(
+                    t["vec_id"],
+                    value_set=pa.array(self.removed, type=pa.int64()),
+                ))
+                return t.select(["vec_id"]).filter(mask)
+
+        return _emb_micro(sf_dir).map_batches(
+            _KeepFilter,
+            fn_constructor_kwargs={"ref": rref},
+            batch_format="pyarrow",
+            concurrency=pool(4),
+        )
+
+    # dup-dense fallback: the removed set is corpus-scale (e.g. a 50%-
+    # duplicate crawl), so it must never land on the driver — anti-join
+    # ids against it distributed (left-outer + null-marker filter, the
+    # bgp_minus shape)
+    from twine_ray.stages.grouped import default_num_partitions
+
+    ids_only = _emb_micro(sf_dir).map_batches(
+        lambda t: t.select(["vec_id"]), batch_format="pyarrow",
+    ).materialize()
+    n_parts = max(2, default_num_partitions(
+        hi=32, rows=max(ids_only.count(), n_removed),
+        rows_per_partition=500_000,
+    ))
+    marked = removed.map_batches(
+        lambda df: df.rename(columns={"vec_id": "rid"}).assign(__m=1),
+        batch_format="pandas",
+    ).repartition(n_parts).materialize()
+    joined = ids_only.repartition(n_parts).materialize().join(
+        marked, join_type="left_outer", num_partitions=n_parts,
+        on=("vec_id",), right_on=("rid",),
     )
-    removed_ids = {int(r["vec_id"]) for r in removed.take_all()}
-    # removed set is near-dup-sized (bounded), broadcast the filter
-    from twine_ray.state.broadcast import broadcast as _bc
 
-    rref = _bc(np.asarray(sorted(removed_ids), dtype=np.int64))
+    def _keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    class _KeepFilter:
-        def __init__(self, ref) -> None:
-            from twine_ray.state.broadcast import resolve
+        return t.filter(pc.is_null(t["__m"])).select(["vec_id"])
 
-            self.removed = resolve(ref)
-
-        def __call__(self, t):
-            import pyarrow.compute as pc
-
-            mask = pc.invert(pc.is_in(
-                t["vec_id"],
-                value_set=pa.array(self.removed, type=pa.int64()),
-            ))
-            return t.select(["vec_id"]).filter(mask)
-
-    return _emb_micro(sf_dir).map_batches(
-        _KeepFilter,
-        fn_constructor_kwargs={"ref": rref},
-        batch_format="pyarrow",
-        concurrency=pool(4),
-    )
+    return joined.map_batches(_keep, batch_format="pyarrow")
 
 
 def semdedup_spec(ids: np.ndarray, X: np.ndarray, k: int) -> list[int]:
