@@ -54,31 +54,78 @@ SEM_NUM, SEM_DEN = 4, 25
 SEMDEDUP_BROADCAST_LIMIT = 2_000_000
 
 
+def _list_matrix(col, dtype) -> np.ndarray:
+    """Arrow list column -> 2-D numpy, zero Python-object hops: flatten
+    the child values and reshape (embeddings are fixed-dim; asserted)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    if flat.size % n:
+        # ragged (shouldn't happen for embeddings) — slow path
+        return np.asarray(col.to_pylist(), dtype=dtype)
+    return np.ascontiguousarray(flat.reshape(n, -1)).astype(
+        dtype, copy=False
+    )
+
+
 def _emb_micro(sf_dir: str):
     """Lazy Dataset of (vec_id, v: list<int64> micro components)."""
     import pyarrow as pa
-    import ray.data as rd
 
-    ds = rd.read_parquet(
+    from twine_ray.sources.readers import sized_read_parquet
+
+    # data-determined block plan: Ray's static 200-block floor makes
+    # hundreds of near-empty blocks of this small table, and EVERY
+    # Lloyd pass then pays 200 tasks of pure orchestration
+    ds = sized_read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
     def _to_micro(t: pa.Table) -> pa.Table:
         X = np.floor(
-            np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-            * MICRO
+            _list_matrix(t["embedding"], np.float64) * MICRO
         ).astype(np.int64)
-        return pa.table({
-            "vec_id": t["vec_id"],
-            "v": pa.array(list(X), type=pa.list_(pa.int64())),
-        })
+        n, dim = X.shape if X.ndim == 2 else (0, 0)
+        offsets = pa.array(
+            np.arange(0, (n + 1) * dim, max(dim, 1), dtype=np.int32)[
+                : n + 1
+            ]
+        )
+        v = pa.ListArray.from_arrays(
+            offsets, pa.array(X.ravel(), type=pa.int64())
+        )
+        return pa.table({"vec_id": t["vec_id"], "v": v})
 
     return ds.map_batches(_to_micro, batch_format="pyarrow")
 
 
+# Materialized micro corpus per (ray job, sf_dir): iterative algorithms
+# (Lloyd's, semdedup's assign+filter) stream the SAME converted corpus
+# several times — materialize the conversion once and share it, the
+# standard Ray trade for iterative ML (the object store spills at
+# scale; nothing lands on the driver).
+_EMB_CACHE: dict = {}
+
+
+def emb_micro_cached(sf_dir: str):
+    import ray
+
+    key = (ray.get_runtime_context().get_job_id(), sf_dir)
+    ds = _EMB_CACHE.get(key)
+    if ds is None:
+        ds = _emb_micro(sf_dir).materialize()
+        _EMB_CACHE[key] = ds
+    return ds
+
+
 def _batch_matrix(t) -> tuple[np.ndarray, np.ndarray]:
     ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    X = np.asarray(t["v"].to_pylist(), dtype=np.int64)
+    X = _list_matrix(t["v"], np.int64)
     return ids, X
 
 
@@ -96,7 +143,7 @@ def init_centroids(sf_dir: str, k: int = DEFAULT_K) -> np.ndarray:
     """Deterministic seed: the k smallest vec_ids' vectors (tiny,
     filter-pruned read)."""
     rows = (
-        _emb_micro(sf_dir)
+        emb_micro_cached(sf_dir)
         .filter(expr=f"vec_id < {k}")
         .take_all()
     )
@@ -166,7 +213,7 @@ def kmeans_centroids(sf_dir: str, k: int = DEFAULT_K,
     """Centroids entering the FINAL assignment of ``iters`` Lloyd
     iterations (iters-1 update steps: the last iteration assigns
     only, matching the unrolled SQL oracle)."""
-    emb = _emb_micro(sf_dir)
+    emb = emb_micro_cached(sf_dir)
     C = init_centroids(sf_dir, k)
     for _ in range(iters - 1):
         C = _update_centroids(emb, C)
@@ -196,7 +243,7 @@ def kmeans_assign(sf_dir: str, k: int = DEFAULT_K,
     from twine_ray.state.broadcast import broadcast, pool
 
     C = kmeans_centroids(sf_dir, k, iters)
-    return _emb_micro(sf_dir).map_batches(
+    return emb_micro_cached(sf_dir).map_batches(
         _AssignOnly,
         fn_constructor_kwargs={"cent_ref": broadcast(C)},
         batch_format="pyarrow",
@@ -287,7 +334,7 @@ def semdedup(sf_dir: str, k: int = DEFAULT_K):
     from twine_ray.state.broadcast import broadcast, pool
 
     C = init_centroids(sf_dir, k)
-    emb = _emb_micro(sf_dir)
+    emb = emb_micro_cached(sf_dir)
 
     class _AssignKeepVec:
         def __init__(self, cent_ref) -> None:
@@ -339,7 +386,7 @@ def semdedup(sf_dir: str, k: int = DEFAULT_K):
                 ))
                 return t.select(["vec_id"]).filter(mask)
 
-        return _emb_micro(sf_dir).map_batches(
+        return emb_micro_cached(sf_dir).map_batches(
             _KeepFilter,
             fn_constructor_kwargs={"ref": rref},
             batch_format="pyarrow",
@@ -352,7 +399,7 @@ def semdedup(sf_dir: str, k: int = DEFAULT_K):
     # bgp_minus shape)
     from twine_ray.stages.grouped import default_num_partitions
 
-    ids_only = _emb_micro(sf_dir).map_batches(
+    ids_only = emb_micro_cached(sf_dir).map_batches(
         lambda t: t.select(["vec_id"]), batch_format="pyarrow",
     ).materialize()
     n_parts = max(2, default_num_partitions(
