@@ -45,9 +45,10 @@ def _noop_pandas(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _docs(sf_dir: str, columns):
-    import ray.data as rd
+    from twine_ray.sources.readers import sized_read_parquet
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return sized_read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=columns)
 
 
 # ---------------------------------------------------------------------------

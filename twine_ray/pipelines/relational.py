@@ -30,9 +30,12 @@ MICRO = 1_000_000
 
 
 def _read(sf_dir: str, name: str, columns=None):
-    import ray.data as rd
+    # data-determined block plan (sources/readers.py): Ray's static
+    # 200-block floor makes near-empty blocks of small tables and every
+    # pass pays per-block orchestration
+    from twine_ray.sources.readers import sized_read_parquet
 
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    return sized_read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------

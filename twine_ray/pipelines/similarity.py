@@ -22,9 +22,9 @@ N_QUERIES = 5  # vec_id < N_QUERIES are the query set
 
 
 def _emb(sf_dir: str):
-    import ray.data as rd
+    from twine_ray.sources.readers import sized_read_parquet
 
-    return rd.read_parquet(
+    return sized_read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 

@@ -21,9 +21,10 @@ ROUND = 4
 
 
 def _docs(sf_dir: str, columns):
-    import ray.data as rd
+    from twine_ray.sources.readers import sized_read_parquet
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return sized_read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=columns)
 
 
 def q_doc_lang_counts(sf_dir: str):

@@ -40,10 +40,35 @@ import pandas as pd
 TRIANGLE_LOCAL_LIMIT = 2_000_000
 
 
+def _wedge_pairs(src, dst, dd):
+    """All ordered out-neighbor pairs per src, numpy run-length
+    enumeration: after lexsort by (src, dd, dst), taking index pairs
+    i<j WITHIN each src run yields exactly the (dd, dst)-ordered wedge
+    set — the ordering filter disappears and no O(sum deg^2)
+    DataFrame is ever allocated (only the two final index arrays)."""
+    import numpy as np
+
+    order = np.lexsort((dst, dd, src))
+    s, d = src[order], dst[order]
+    starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+    run_len = np.diff(np.r_[starts, len(s)])
+    # element at position p (0-based) in its run pairs with the p
+    # elements before it
+    pos = np.arange(len(s)) - np.repeat(starts, run_len)
+    j_idx = np.repeat(np.arange(len(s)), pos)
+    run_start = np.repeat(starts, run_len)
+    csum = np.cumsum(pos) - pos
+    i_idx = (
+        np.arange(int(pos.sum())) - np.repeat(csum, pos)
+        + np.repeat(run_start, pos)
+    )
+    return d[i_idx], d[j_idx]
+
+
 def _triangle_count_local(edf: pd.DataFrame) -> int:
     """Single-process degree-oriented count over one DataFrame —
-    identical canon/orient/wedge/close steps, pandas merges in place
-    of the hash joins."""
+    identical canon/orient/wedge/close steps, numpy pair enumeration
+    + one pandas hash join in place of the distributed joins."""
     u, v = edf["u"], edf["v"]
     df = pd.DataFrame({"a": u.where(u <= v, v), "b": v.where(u <= v, u)})
     df = df[df["a"] != df["b"]].drop_duplicates()
@@ -54,13 +79,14 @@ def _triangle_count_local(edf: pd.DataFrame) -> int:
         deg_a=df["a"].map(vc).astype("int64"),
         deg_b=df["b"].map(vc).astype("int64"),
     ))
-    m = oriented.merge(oriented, on="src")
-    lt = (m["dd_x"] < m["dd_y"]) | (
-        (m["dd_x"] == m["dd_y"]) & (m["dst_x"] < m["dst_y"])
+    wx, wy = _wedge_pairs(
+        oriented["src"].to_numpy(),
+        oriented["dst"].to_numpy(),
+        oriented["dd"].to_numpy(),
     )
-    wedges = m[lt]
-    closed = wedges.merge(
-        oriented, left_on=["dst_x", "dst_y"], right_on=["src", "dst"],
+    closed = pd.DataFrame({"wx": wx, "wy": wy}).merge(
+        oriented[["src", "dst"]],
+        left_on=["wx", "wy"], right_on=["src", "dst"],
     )
     return len(closed)
 
@@ -156,17 +182,12 @@ def triangle_count(edges_ds, local_limit: int | None = None) -> int:
     # wedges: all ordered pairs of out-neighbors per src (one shuffle;
     # vectorized self-merge inside each bucket)
     def _wedges(df: pd.DataFrame) -> pd.DataFrame:
-        m = df.merge(df, on="src")
-        lt = (m["dd_x"] < m["dd_y"]) | (
-            (m["dd_x"] == m["dd_y"]) & (m["dst_x"] < m["dst_y"])
+        wx, wy = _wedge_pairs(
+            df["src"].to_numpy(),
+            df["dst"].to_numpy(),
+            df["dd"].to_numpy(),
         )
-        m = m[lt]
-        return pd.DataFrame(
-            {
-                "wx": m["dst_x"].to_numpy(),
-                "wy": m["dst_y"].to_numpy(),
-            }
-        )
+        return pd.DataFrame({"wx": wx, "wy": wy})
 
     # repartition+materialize before joining: map_groups output can
     # contain empty-schema blocks that break Ray 2.49's hash join
