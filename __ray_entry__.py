@@ -489,6 +489,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_semdedup": cluster.q_embed_semdedup,
         "doc_split": text.q_doc_split,
         "sample_stratified": text.q_sample_stratified,
+        "doc_chunks": text.q_doc_chunks,
+        "train_shards": text.q_train_shards,
         # --- KG pipeline (P/R-gated in tests/; _meta slice is oracled)
         "kg_flagship": kg_flagship,
         "kg_extract": kg_extract,
@@ -1280,6 +1282,42 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "doc_chunks": """
+            -- fixed-token windows (50 tokens every 40): DuckDB
+            -- rebuilds each chunk's TEXT via regexp_extract_all +
+            -- list_slice; generate_series is empty for empty docs
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '[\\w]+(''[\\w]+)?')
+                           AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(s / 40 AS BIGINT) AS chunk_id,
+                   s AS chunk_start,
+                   least(50, len(toks) - s) AS n_chunk_tokens,
+                   array_to_string(list_slice(toks, s + 1, s + 50), ' ')
+                       AS chunk_text
+            FROM t, LATERAL (
+                SELECT unnest(generate_series(0, len(toks) - 1, 40)) AS s
+            ) g
+        """,
+        "train_shards": """
+            -- shard = first md5 hex nibble mod 8; dense in-shard
+            -- position by (md5 hex, id) — lowercase fixed-width hex
+            -- compares identically in DuckDB and Python
+            SELECT doc_id, shard,
+                   row_number() OVER (
+                       PARTITION BY shard ORDER BY h ASC, doc_id ASC
+                   ) - 1 AS pos
+            FROM (
+                SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                       (strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        ) - 1) % 8 AS shard
+                FROM documents
+            )
         """,
         "embed_neardup_clusters": """
             -- recursive-CTE closure over the SAME cosine pair set the

@@ -664,3 +664,98 @@ def q_pii_redact(sf_dir: str):
         )
 
     return ds.map_batches(_scrub, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# RAG-style chunking + training-shard export assignment
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40
+N_TRAIN_SHARDS = 8
+
+
+def q_doc_chunks(sf_dir: str, window: int = CHUNK_TOKENS,
+                 stride: int = CHUNK_STRIDE):
+    """Fixed-size token chunking with overlap — the retrieval /
+    context-window prep primitive of a training-data pipeline: each
+    document becomes ceil(n_tokens/stride) windows of up to ``window``
+    tokens starting every ``stride`` tokens.  Tokens are the ASCII-\\w
+    tokenizer (DuckDB/RE2 parity, like doc_token_counts), and the
+    chunk TEXT itself is oracle-checked: DuckDB rebuilds each window
+    with regexp_extract_all + list_slice + array_to_string.  flat_map
+    shape (1 doc -> k chunk rows); embarrassingly parallel, zero
+    shuffle."""
+    from twine_ray.functions.textnorm import simple_tokens_ascii
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        ids, cid, cst, ntk, txt = [], [], [], [], []
+        for i, t in zip(df["doc_id"], df["text"]):
+            toks = simple_tokens_ascii(t or "")
+            for j, start in enumerate(range(0, len(toks), stride)):
+                piece = toks[start:start + window]
+                ids.append(int(i))
+                cid.append(j)
+                cst.append(start)
+                ntk.append(len(piece))
+                txt.append(" ".join(piece))
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "chunk_id": pd.Series(cid, dtype="int64"),
+            "chunk_start": pd.Series(cst, dtype="int64"),
+            "n_chunk_tokens": pd.Series(ntk, dtype="int64"),
+            "chunk_text": pd.Series(txt, dtype=object),
+        })
+
+    return ds.map_batches(_f, batch_format="pandas")
+
+
+def train_shards(ds, id_col: str = "doc_id",
+                 n_shards: int = N_TRAIN_SHARDS):
+    """Deterministic training-shard export assignment: each row gets a
+    shard (first md5 hex nibble of its id, mod n_shards) and a dense
+    0-based position within the shard ordered by (md5 hex, id) — the
+    content-hash global shuffle a training exporter needs (stable
+    under partitioning, re-runs and corpus growth within a shard).
+
+    Scale shape: ONE bucketed exchange keyed on shard moves only
+    (id, 32-byte hex) rows — never payloads; the position assignment
+    needs the COMPLETE shard per reducer (partial=False), which is the
+    inherent cost of a dense per-shard ordering."""
+    import hashlib
+
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    def _hash(df: pd.DataFrame) -> pd.DataFrame:
+        h = df[id_col].map(
+            lambda i: hashlib.md5(str(int(i)).encode()).hexdigest()
+        )
+        return pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            "shard": h.map(
+                lambda x: int(x[0], 16) % n_shards
+            ).astype("int64"),
+            "_h": h,
+        })
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["shard", "_h", id_col], kind="mergesort")
+        return df.assign(
+            pos=df.groupby("shard", sort=False).cumcount().astype("int64")
+        )
+
+    out = bucketed_group_reduce(
+        ds.map_batches(_hash, batch_format="pandas"),
+        ["shard"], _reduce, num_buckets=n_shards, partial=False,
+    )
+    return out.map_batches(
+        lambda df: df.drop(columns=["_h"]), batch_format="pandas"
+    )
+
+
+def q_train_shards(sf_dir: str):
+    """Shard + in-shard position for every document (SQL-oracled:
+    row_number over PARTITION BY shard ORDER BY md5 hex)."""
+    return train_shards(_docs(sf_dir, ["doc_id"]))

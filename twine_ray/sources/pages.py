@@ -178,9 +178,12 @@ class DocPageGen:
 def pages_from_documents(sf_dir: str, seed: int = W.WORLD_SEED,
                          n_entities: int = 200, concurrency: int | None = None):
     """Dataset of pages derived from ``{sf_dir}/documents.parquet``."""
-    import ray.data as rd
+    from twine_ray.sources.readers import rows_read_parquet
 
-    ds = rd.read_parquet(
+    # rows-based plan: page synthesis + extraction are compute-heavy
+    # per row, so the block count must track rows (feeding the actor
+    # pool), not Ray's static 200-block floor over a tiny file
+    ds = rows_read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
     )

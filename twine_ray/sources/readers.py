@@ -63,3 +63,42 @@ def sized_read_parquet(paths, columns=None, **kwargs):
     if "override_num_blocks" not in kwargs:
         kwargs["override_num_blocks"] = plan_num_blocks(paths)
     return rd.read_parquet(paths, columns=columns, **kwargs)
+
+
+def _total_rows(paths: list[str]) -> int:
+    import pyarrow.parquet as pq
+
+    total = 0
+    for p in paths:
+        files = []
+        if os.path.isdir(p):
+            for root, _dirs, names in os.walk(p):
+                files += [os.path.join(root, f) for f in names
+                          if f.endswith(".parquet")]
+        elif os.path.exists(p):
+            files = [p]
+        for f in files:
+            total += pq.ParquetFile(f).metadata.num_rows
+    return total
+
+
+def rows_read_parquet(paths, columns=None, rows_per_block: int = 512,
+                      **kwargs):
+    """``read_parquet`` with a ROWS-based block plan, for reads feeding
+    compute-heavy per-row stages (page synthesis, extraction): bytes on
+    disk say nothing about downstream cost there, and a single block
+    would starve the actor pool.  Row counts come from Parquet footer
+    metadata (no data read).  Still data-determined — identical at
+    every parallelism level."""
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        paths = [paths]
+    if "override_num_blocks" not in kwargs:
+        rows = _total_rows(paths)
+        # cap: callers with truly huge inputs split by bytes instead
+        # (sized_read_parquet); 4096 blocks bounds plan overhead
+        kwargs["override_num_blocks"] = (
+            max(1, min(4096, -(-rows // rows_per_block)))
+        )
+    return rd.read_parquet(paths, columns=columns, **kwargs)
