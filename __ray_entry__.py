@@ -34,6 +34,12 @@ driver's rows-only check is backed by deeper verification in tests/:
 - doc_langid / doc_quality / doc_fingerprints: heuristic scores pinned
   to their frozen scalar specs (tests/test_grouped_text.py); the
   integer feature counts ARE oracled as doc_quality_counts.
+- bpe_merges / bpe_token_counts: BPE training is an iterative merge
+  loop (not SQL-expressible); tests/test_bpe.py pins the distributed
+  word count + merge loop to the scalar spec over a DUCKDB-computed
+  word table (oracle-by-construction), plus the Sennrich fixture,
+  tie-break determinism, encoder-composition and repartition
+  invariance.
 - media_features / media_frames: the generic (compressed-format)
   decode kernel is a declared sandbox stand-in; plumbing pinned by
   tests/test_multimodal.py; the metadata and frame-offset slices ARE
@@ -65,6 +71,12 @@ def entry() -> Any:
 # re-run the writer — so every kg_* query shares one build per session.
 # Keyed by Ray job id: a fresh ray.init invalidates the object refs.
 _TRIPLES_CACHE: dict = {}
+
+
+def _bpe():
+    from twine_ray.pipelines import bpe as _m
+
+    return _m
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -491,6 +503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": text.q_sample_stratified,
         "doc_chunks": text.q_doc_chunks,
         "train_shards": text.q_train_shards,
+        "bpe_merges": _bpe().q_bpe_merges,
+        "bpe_token_counts": _bpe().q_bpe_token_counts,
         # --- KG pipeline (P/R-gated in tests/; _meta slice is oracled)
         "kg_flagship": kg_flagship,
         "kg_extract": kg_extract,
