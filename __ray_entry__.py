@@ -505,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_shards": text.q_train_shards,
         "bpe_merges": _bpe().q_bpe_merges,
         "bpe_token_counts": _bpe().q_bpe_token_counts,
+        "train_packing": text.q_train_packing,
         # --- KG pipeline (P/R-gated in tests/; _meta slice is oracled)
         "kg_flagship": kg_flagship,
         "kg_extract": kg_extract,
@@ -1331,6 +1332,33 @@ def oracle_sql() -> dict[str, str]:
                                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                         ) - 1) % 8 AS shard
                 FROM documents
+            )
+        """,
+        "train_packing": """
+            -- contiguous token-budget packing within each shard:
+            -- bin = floor(exclusive running token sum / 2048) in
+            -- (md5 hex, id) order — straddling allowed by definition
+            SELECT doc_id, shard, n_tokens, pos,
+                   CAST((csum - n_tokens) // 2048 AS BIGINT) AS bin
+            FROM (
+                SELECT doc_id, shard, n_tokens,
+                       row_number() OVER w - 1 AS pos,
+                       SUM(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY h ASC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS csum
+                FROM (
+                    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                           (strpos('0123456789abcdef',
+                                   substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 1)) - 1) % 8 AS shard,
+                           len(regexp_extract_all(
+                               text, '[\\w]+(''[\\w]+)?')) AS n_tokens
+                    FROM documents
+                )
+                WINDOW w AS (
+                    PARTITION BY shard ORDER BY h ASC, doc_id ASC
+                )
             )
         """,
         "embed_neardup_clusters": """

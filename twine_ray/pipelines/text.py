@@ -759,3 +759,60 @@ def q_train_shards(sf_dir: str):
     """Shard + in-shard position for every document (SQL-oracled:
     row_number over PARTITION BY shard ORDER BY md5 hex)."""
     return train_shards(_docs(sf_dir, ["doc_id"]))
+
+
+PACK_BUDGET = 2048
+
+
+def q_train_packing(sf_dir: str, budget: int = PACK_BUDGET):
+    """Sequence-packing assignment: within each export shard (same
+    order as ``train_shards``: md5 hex, then id), documents fill
+    contiguous token-budget bins — bin = floor(exclusive-cumsum /
+    budget) over ASCII-\\w token counts.  Contiguous packing with
+    straddling allowed (a doc may open the next bin), the deterministic
+    batch-packing primitive next to train_shards; SQL-oracled via a
+    window cumsum.
+
+    Scale shape: token counts stream per batch; the ONE shard-keyed
+    exchange moves (id, hash, n_tokens) rows and each reducer owns a
+    complete shard (the dense-ordering cost train_shards already
+    pays)."""
+    import hashlib
+
+    from twine_ray.functions.textnorm import simple_tokens_ascii
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].map(
+            lambda i: hashlib.md5(str(int(i)).encode()).hexdigest()
+        )
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "shard": h.map(
+                lambda x: int(x[0], 16) % N_TRAIN_SHARDS
+            ).astype("int64"),
+            "_h": h,
+            "n_tokens": df["text"].map(
+                lambda t: len(simple_tokens_ascii(t or ""))
+            ).astype("int64"),
+        })
+
+    def _pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["shard", "_h", "doc_id"], kind="mergesort")
+        csum = df.groupby("shard", sort=False)["n_tokens"].cumsum()
+        excl = (csum - df["n_tokens"]).astype("int64")
+        return df.assign(
+            pos=df.groupby("shard", sort=False)
+                  .cumcount().astype("int64"),
+            bin=(excl // budget).astype("int64"),
+        )
+
+    out = bucketed_group_reduce(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["shard"], _pack, num_buckets=N_TRAIN_SHARDS, partial=False,
+    )
+    return out.map_batches(
+        lambda df: df.drop(columns=["_h"]), batch_format="pandas"
+    )
