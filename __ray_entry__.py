@@ -506,6 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _bpe().q_bpe_merges,
         "bpe_token_counts": _bpe().q_bpe_token_counts,
         "train_packing": text.q_train_packing,
+        "curate_corpus": text.q_curate_corpus,
         # --- KG pipeline (P/R-gated in tests/; _meta slice is oracled)
         "kg_flagship": kg_flagship,
         "kg_extract": kg_extract,
@@ -1360,6 +1361,50 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY shard ORDER BY h ASC, doc_id ASC
                 )
             )
+        """,
+        "curate_corpus": """
+            -- composed curation: quality (C4 integer thresholds) AND
+            -- repetition (Gopher) AND exact dedup among KEPT docs AND
+            -- content-hash split — every predicate integer/hash-exact
+            WITH rep AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok_l,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                       CAST(MAX(c) AS BIGINT) AS max_tok_n
+                FROM (
+                    SELECT doc_id, tok, COUNT(*) AS c FROM (
+                        SELECT doc_id, unnest(regexp_extract_all(
+                            lower(text), '[\\w]+(''[\\w]+)?')) AS tok
+                        FROM documents
+                    ) GROUP BY doc_id, tok
+                ) GROUP BY doc_id
+            ),
+            kept AS (
+                SELECT d.doc_id,
+                       len(regexp_extract_all(
+                           d.text, '[\\w]+(''[\\w]+)?')) AS n_tokens,
+                       md5(COALESCE(d.text, '')) AS h
+                FROM documents d JOIN rep r USING (doc_id)
+                WHERE len(regexp_extract_all(
+                          d.text, '[\\w]+(''[\\w]+)?')) >= 15
+                  AND 4 * len(regexp_extract_all(
+                          d.text, '[!-/:-@[-`{-~]')) <= LENGTH(d.text)
+                  AND 10 * len(regexp_extract_all(
+                          d.text, '[A-Za-z]')) >= 3 * LENGTH(d.text)
+                  AND 5 * r.max_tok_n <= r.n_tok_l
+                  AND 3 * r.n_distinct >= r.n_tok_l
+                  AND r.n_tok_l > 0
+            )
+            SELECT doc_id, n_tokens,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < 'cc' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < 'e6' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id, n_tokens,
+                       MIN(doc_id) OVER (PARTITION BY h) AS keeper
+                FROM kept
+            ) WHERE doc_id = keeper
         """,
         "embed_neardup_clusters": """
             -- recursive-CTE closure over the SAME cosine pair set the

@@ -816,3 +816,85 @@ def q_train_packing(sf_dir: str, budget: int = PACK_BUDGET):
     return out.map_batches(
         lambda df: df.drop(columns=["_h"]), batch_format="pandas"
     )
+
+
+def q_curate_corpus(sf_dir: str):
+    """The composed curation flagship a training-data pipeline runs
+    end-to-end: quality filter (C4-style integer thresholds) AND
+    repetition filter (Gopher rules) AND exact dedup (min doc_id per
+    distinct text among the KEPT docs) AND train/val/test split — all
+    SQL-oracled because each piece is integer/hash-exact.
+
+    Scale shape: ONE fused pass computes every feature + the content
+    hash (corpus text read once), the filters are vectorized masks,
+    and the only exchange is the hash-keyed dedup moving (hash, id,
+    n_tokens) survivors — filtered-out docs never shuffle."""
+    import hashlib
+    from collections import Counter
+
+    from twine_ray.functions.textnorm import simple_tokens_ascii
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    punct_pat = r"[!-/:-@\[-`{-~]"
+
+    def _fused(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        toks_q = texts.map(simple_tokens_ascii)
+        n_tokens = toks_q.map(len).astype("int64")
+        n_chars = texts.str.len().astype("int64")
+        n_alpha = texts.str.count(r"[A-Za-z]").astype("int64")
+        n_punct = texts.str.count(punct_pat).astype("int64")
+
+        def rep(text):
+            toks = simple_tokens_ascii(text.lower())
+            if not toks:
+                return (0, 0, 0)
+            vc = Counter(toks)
+            return (len(toks), len(vc), max(vc.values()))
+
+        trip = texts.map(rep)
+        n_tok_l = trip.map(lambda t: t[0]).astype("int64")
+        n_distinct = trip.map(lambda t: t[1]).astype("int64")
+        max_tok_n = trip.map(lambda t: t[2]).astype("int64")
+        keep = (
+            (n_tokens >= 15)
+            & (4 * n_punct <= n_chars)
+            & (10 * n_alpha >= 3 * n_chars)
+            & (5 * max_tok_n <= n_tok_l)
+            & (3 * n_distinct >= n_tok_l)
+            & (n_tok_l > 0)
+        )
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": n_tokens,
+            "text_md5": texts.map(
+                lambda t: hashlib.md5(t.encode()).hexdigest()
+            ),
+        })
+        return out[keep.to_numpy()]
+
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        # min doc_id per distinct text; n_tokens is constant per text
+        df = df.sort_values(["text_md5", "doc_id"], kind="mergesort")
+        return df.groupby("text_md5", as_index=False).first()
+
+    survivors = bucketed_group_reduce(
+        ds.map_batches(_fused, batch_format="pandas"),
+        ["text_md5"], _dedup,
+    )
+
+    def _split(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+
+        def split_of(i) -> str:
+            b = _h.md5(str(int(i)).encode()).digest()[0]
+            return "train" if b < 0xCC else ("val" if b < 0xE6 else "test")
+
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": df["n_tokens"].astype("int64"),
+            "split": df["doc_id"].map(split_of),
+        })
+
+    return survivors.map_batches(_split, batch_format="pandas")
