@@ -199,6 +199,10 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     picks["embed_semdedup"] = _qs["embed_semdedup"]
     picks["dedup_passage"] = _qs["dedup_passage"]
     picks["kg_path"] = _qs["kg_path"]
+    picks["doc_chunks"] = _qs["doc_chunks"]
+    picks["train_packing"] = _qs["train_packing"]
+    picks["bpe_merges"] = _qs["bpe_merges"]
+    picks["curate_corpus"] = _qs["curate_corpus"]
     out = {}
     for name, fn in picks.items():
         t0 = time.perf_counter()
