@@ -59,15 +59,19 @@ def _list_matrix(col, dtype) -> np.ndarray:
     the child values and reshape (embeddings are fixed-dim; asserted)."""
     import pyarrow as pa
 
+    import pyarrow.compute as pc
+
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False)
     n = len(col)
     if n == 0:
         return np.zeros((0, 0), dtype=dtype)
-    if flat.size % n:
-        # ragged (shouldn't happen for embeddings) — slow path
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    if lens.min() != lens.max():
+        # ragged (shouldn't happen for embeddings) — slow exact path;
+        # a divisible-total ragged column must NOT silently reshape
         return np.asarray(col.to_pylist(), dtype=dtype)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
     return np.ascontiguousarray(flat.reshape(n, -1)).astype(
         dtype, copy=False
     )
