@@ -507,6 +507,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _bpe().q_bpe_token_counts,
         "train_packing": text.q_train_packing,
         "curate_corpus": text.q_curate_corpus,
+        "event_funnel": relational.q_event_funnel,
+        "cohort_retention": relational.q_cohort_retention,
         # --- KG pipeline (P/R-gated in tests/; _meta slice is oracled)
         "kg_flagship": kg_flagship,
         "kg_extract": kg_extract,
@@ -1405,6 +1407,46 @@ def oracle_sql() -> dict[str, str]:
                        MIN(doc_id) OVER (PARTITION BY h) AS keeper
                 FROM kept
             ) WHERE doc_id = keeper
+        """,
+        "event_funnel": """
+            -- strictly-ordered first-occurrence funnel per user
+            WITH f AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view'
+                                THEN epoch_us(ts) END) AS t_view,
+                       MIN(CASE WHEN event_type = 'click'
+                                THEN epoch_us(ts) END) AS t_click,
+                       MIN(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END) AS t_buy
+                FROM events GROUP BY user_id
+            )
+            SELECT
+                CAST(COUNT(*) FILTER (t_view IS NOT NULL)
+                     AS BIGINT) AS n_view,
+                CAST(COUNT(*) FILTER (t_view IS NOT NULL
+                     AND t_click IS NOT NULL AND t_view < t_click)
+                     AS BIGINT) AS n_view_click,
+                CAST(COUNT(*) FILTER (t_view IS NOT NULL
+                     AND t_click IS NOT NULL AND t_view < t_click
+                     AND t_buy IS NOT NULL AND t_click < t_buy)
+                     AS BIGINT) AS n_view_click_purchase
+            FROM f
+        """,
+        "cohort_retention": """
+            -- cohort month index of the first order per customer;
+            -- distinct customers per (cohort, months-since) offset
+            WITH m AS (
+                SELECT o_custkey AS cust,
+                       EXTRACT(YEAR FROM o_orderdate) * 12
+                       + EXTRACT(MONTH FROM o_orderdate) - 1 AS mi
+                FROM orders
+            ),
+            f AS (SELECT cust, MIN(mi) AS first_mi FROM m GROUP BY cust)
+            SELECT CAST(f.first_mi AS BIGINT) AS cohort_mi,
+                   CAST(m.mi - f.first_mi AS BIGINT) AS months_since,
+                   CAST(COUNT(DISTINCT m.cust) AS BIGINT) AS n_custs
+            FROM m JOIN f USING (cust)
+            GROUP BY f.first_mi, m.mi - f.first_mi
         """,
         "embed_neardup_clusters": """
             -- recursive-CTE closure over the SAME cosine pair set the

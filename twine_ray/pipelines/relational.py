@@ -1592,3 +1592,118 @@ def q_reachable(sf_dir: str):
         ["u", "v"], lambda df: df.drop_duplicates(),
     )
     return bfs_reachable(edges, [0], max_depth=3)
+
+
+def q_event_funnel(sf_dir: str):
+    """Strictly-ordered funnel (view -> click -> purchase by FIRST
+    occurrence per user) — the product-analytics primitive over the
+    event stream.  One user-keyed exchange: per-batch partial min-ts
+    per (user, type) is associative, the complete-group reduce pivots
+    the three first-times and compares.  Integer-microsecond
+    timestamps on both sides keep the DuckDB oracle hash-exact."""
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["view", "click", "purchase"])]
+        out = df.assign(
+            ts_us=df["ts"].astype("int64")
+        ).groupby(["user_id", "event_type"], as_index=False).agg(
+            ts_us=("ts_us", "min")
+        )
+        return out[["user_id", "event_type", "ts_us"]]
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        # complete (user, type) groups per bucket: min of partial mins
+        m = df.groupby(["user_id", "event_type"], as_index=False).agg(
+            ts_us=("ts_us", "min")
+        )
+        p = m.pivot(index="user_id", columns="event_type",
+                    values="ts_us")
+        for c in ("view", "click", "purchase"):
+            if c not in p.columns:
+                p[c] = pd.NA
+        viewed = p["view"].notna()
+        clicked = viewed & p["click"].notna() & (p["view"] < p["click"])
+        bought = clicked & p["purchase"].notna() & (
+            p["click"] < p["purchase"]
+        )
+        return pd.DataFrame({
+            "n_view": [int(viewed.sum())],
+            "n_view_click": [int(clicked.sum())],
+            "n_view_click_purchase": [int(bought.sum())],
+        })
+
+    parts = bucketed_group_reduce(
+        ev.map_batches(_partial, batch_format="pandas"),
+        ["user_id"], _reduce, partial=False,
+    ).to_pandas()
+    # bucket partials are disjoint user sets -> plain sums
+    return pd.DataFrame({
+        "n_view": pd.Series([int(parts["n_view"].sum())], dtype="int64"),
+        "n_view_click": pd.Series(
+            [int(parts["n_view_click"].sum())], dtype="int64"
+        ),
+        "n_view_click_purchase": pd.Series(
+            [int(parts["n_view_click_purchase"].sum())], dtype="int64"
+        ),
+    })
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention over orders: cohort = month index (y*12+m) of
+    the customer's FIRST order; for every later order month, count
+    DISTINCT customers at each months-since offset.  Two exchanges:
+    first-order month per customer (associative min), then distinct
+    (cohort, offset, customer) -> counts — the canonical cohort shape,
+    all integer month arithmetic."""
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def _mi(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(df["o_orderdate"])
+        return pd.DataFrame({
+            "cust": df["o_custkey"].astype("int64"),
+            "mi": (d.dt.year * 12 + (d.dt.month - 1)).astype("int64"),
+        })
+
+    months = orders.map_batches(_mi, batch_format="pandas")
+
+    first = bucketed_group_reduce(months.map_batches(
+        lambda df: df.groupby("cust", as_index=False).agg(
+            first_mi=("mi", "min")
+        ),
+        batch_format="pandas",
+    ), ["cust"], lambda df: df.groupby("cust", as_index=False).agg(
+        first_mi=("first_mi", "min")
+    ), partial=False)
+
+    from twine_ray.stages.grouped import default_num_partitions
+
+    n_parts = default_num_partitions(hi=16, rows=15_000,
+                                     rows_per_partition=100_000)
+    joined = months.repartition(n_parts).materialize().join(
+        first.repartition(n_parts).materialize(),
+        join_type="inner", num_partitions=n_parts, on=("cust",),
+    )
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cohort_mi": df["first_mi"].astype("int64"),
+            "months_since": (df["mi"] - df["first_mi"]).astype("int64"),
+            "cust": df["cust"].astype("int64"),
+        }).drop_duplicates()
+
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        out = df.groupby(["cohort_mi", "months_since"],
+                         as_index=False).agg(n_custs=("cust", "count"))
+        out["n_custs"] = out["n_custs"].astype("int64")
+        return out
+
+    return bucketed_group_reduce(
+        joined.map_batches(_pairs, batch_format="pandas"),
+        ["cohort_mi", "months_since"], _count, partial=False,
+    )
