@@ -509,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": text.q_curate_corpus,
         "event_funnel": relational.q_event_funnel,
         "cohort_retention": relational.q_cohort_retention,
+        "path_algebra": relational.q_path_algebra,
         # --- KG pipeline (P/R-gated in tests/; _meta slice is oracled)
         "kg_flagship": kg_flagship,
         "kg_extract": kg_extract,
@@ -1447,6 +1448,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT m.cust) AS BIGINT) AS n_custs
             FROM m JOIN f USING (cust)
             GROUP BY f.first_mi, m.mi - f.first_mi
+        """,
+        "path_algebra": """
+            -- (^p) / (p | q): inverse, alternation, sequence
+            WITH p AS (
+                SELECT DISTINCT CAST(o_orderkey % 5000 AS BIGINT) AS u,
+                       CAST((o_orderkey * 7 + o_custkey) % 5000
+                            AS BIGINT) AS v
+                FROM orders
+            ),
+            q AS (
+                SELECT DISTINCT
+                       CAST((o_orderkey * 3 + 1) % 5000 AS BIGINT) AS u,
+                       CAST((o_custkey * 11 + 2) % 5000 AS BIGINT) AS v
+                FROM orders
+            ),
+            ip AS (SELECT v AS u, u AS v FROM p),
+            uq AS (SELECT u, v FROM p UNION SELECT u, v FROM q)
+            SELECT DISTINCT ip.u AS u, uq.v AS v
+            FROM ip JOIN uq ON ip.v = uq.u
         """,
         "embed_neardup_clusters": """
             -- recursive-CTE closure over the SAME cosine pair set the

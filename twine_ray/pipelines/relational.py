@@ -1707,3 +1707,32 @@ def q_cohort_retention(sf_dir: str):
         joined.map_batches(_pairs, batch_format="pandas"),
         ["cohort_mi", "months_since"], _count, partial=False,
     )
+
+
+def q_path_algebra(sf_dir: str):
+    """SPARQL property-path ALGEBRA composition — ``(^p) / (p | q)``
+    over two deterministic hash-derived relations on the orders graph:
+    inverse, alternation and sequence are the three path operators the
+    bounded closure (kg_path) doesn't exercise.  stages/bfs.py edge
+    combinators; the sequence join is the only exchange.  The DuckDB
+    oracle composes the same relational algebra directly."""
+    from twine_ray.stages.bfs import edges_inverse, edges_seq, edges_union
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "u": (df["o_orderkey"] % 5000).astype("int64"),
+            "v": ((df["o_orderkey"] * 7 + df["o_custkey"]) % 5000)
+            .astype("int64"),
+        }).drop_duplicates()
+
+    def _q(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "u": ((df["o_orderkey"] * 3 + 1) % 5000).astype("int64"),
+            "v": ((df["o_custkey"] * 11 + 2) % 5000).astype("int64"),
+        }).drop_duplicates()
+
+    p = orders.map_batches(_p, batch_format="pandas")
+    q = orders.map_batches(_q, batch_format="pandas")
+    return edges_seq(edges_inverse(p), edges_union(p, q))

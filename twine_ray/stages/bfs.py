@@ -281,3 +281,60 @@ def path_pairs(edges_ds, max_depth: int = 2,
 
     return bucketed_group_reduce(allp, ["start", "node"], _min,
                                  num_buckets=n_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Property-path algebra over edge Datasets (SPARQL ^p, p|q, p/q)
+# ---------------------------------------------------------------------------
+
+
+def edges_inverse(edges_ds):
+    """``^p``: swap direction."""
+    import pyarrow as pa
+
+    return edges_ds.map_batches(
+        lambda t: pa.table({"u": t["v"], "v": t["u"]}),
+        batch_format="pyarrow",
+    )
+
+
+def edges_union(a_ds, b_ds):
+    """``p|q``: bag union of edge sets (closures dedup per level, so
+    duplicate edges cost nothing downstream)."""
+    return a_ds.union(b_ds)
+
+
+def edges_seq(a_ds, b_ds, num_partitions: int | None = None):
+    """``p/q``: one hash join a.v = b.u -> (a.u, b.v), deduped by a
+    bucketed exchange (join fan-out can repeat pairs)."""
+    import pandas as pd
+
+    from twine_ray.stages.grouped import (
+        bucketed_group_reduce,
+        default_num_partitions,
+    )
+
+    a = a_ds.materialize()
+    b = b_ds.materialize()
+    n_parts = num_partitions or max(2, default_num_partitions(
+        hi=32, rows=max(a.count(), b.count()),
+        rows_per_partition=200_000,
+    ))
+    joined = a.repartition(n_parts).materialize().join(
+        b.map_batches(
+            lambda t: t.rename_columns(["bu", "bv"]),
+            batch_format="pyarrow",
+        ).repartition(n_parts).materialize(),
+        join_type="inner", num_partitions=n_parts,
+        on=("v",), right_on=("bu",),
+    )
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "u": df["u"], "v": df["bv"],
+        }).drop_duplicates()
+
+    return bucketed_group_reduce(
+        joined.map_batches(_pairs, batch_format="pandas"),
+        ["u", "v"], lambda df: df.drop_duplicates(),
+    )
