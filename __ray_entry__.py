@@ -40,6 +40,11 @@ driver's rows-only check is backed by deeper verification in tests/:
   word table (oracle-by-construction), plus the Sennrich fixture,
   tie-break determinism, encoder-composition and repartition
   invariance.
+- cms_top_tokens: Count-Min sketch heavy hitters (probabilistic by
+  design, like hll_users_per_type); tests/test_cms.py gates the
+  never-underestimate property, merge==whole, weighted==repeated,
+  top-k recall >= 0.9 vs the exact DuckDB top-k, and repartition
+  determinism.
 - media_features / media_frames: the generic (compressed-format)
   decode kernel is a declared sandbox stand-in; plumbing pinned by
   tests/test_multimodal.py; the metadata and frame-offset slices ARE
@@ -510,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": relational.q_event_funnel,
         "cohort_retention": relational.q_cohort_retention,
         "path_algebra": relational.q_path_algebra,
+        "cms_top_tokens": text.q_cms_top_tokens,
         # --- KG pipeline (P/R-gated in tests/; _meta slice is oracled)
         "kg_flagship": kg_flagship,
         "kg_extract": kg_extract,

@@ -126,3 +126,52 @@ def bloom_might_contain(packed: np.ndarray, values,
         return np.zeros(0, dtype=bool)
     bits = np.unpackbits(packed)
     return bits[_bloom_probes(values, m, k)].all(axis=0).astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, the public algorithm)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4          # rows (independent hash functions)
+CMS_W = 8192       # columns per row
+
+
+def cms_counts(values, weights=None, d: int = CMS_D,
+               w: int = CMS_W) -> np.ndarray:
+    """int64[d, w] Count-Min table for a sequence of values.
+
+    Row hashes derive from ONE SipHash pass + splitmix64 row salts
+    (deterministic across processes); the update is one
+    ``np.add.at`` per row — no Python loop over values."""
+    t = np.zeros((d, w), dtype=np.int64)
+    if len(values) == 0:
+        return t
+    h = pd.util.hash_pandas_object(
+        pd.Series(list(values), dtype=object), index=False,
+        categorize=False,
+    ).to_numpy().astype(np.uint64)
+    wts = (np.asarray(weights, dtype=np.int64)
+           if weights is not None else np.ones(len(h), dtype=np.int64))
+    for r in range(d):
+        hr = _splitmix64(h + np.uint64((0x9E3779B97F4A7C15 * (r + 1)) & 0xFFFFFFFFFFFFFFFF))
+        np.add.at(t[r], (hr % np.uint64(w)).astype(np.int64), wts)
+    return t
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise sum — associative/commutative, any partitioning."""
+    return a + b
+
+
+def cms_query(t: np.ndarray, values) -> np.ndarray:
+    """Point estimates (min over rows) — never underestimates."""
+    d, w = t.shape
+    h = pd.util.hash_pandas_object(
+        pd.Series(list(values), dtype=object), index=False,
+        categorize=False,
+    ).to_numpy().astype(np.uint64)
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(d):
+        hr = _splitmix64(h + np.uint64((0x9E3779B97F4A7C15 * (r + 1)) & 0xFFFFFFFFFFFFFFFF))
+        est = np.minimum(est, t[r][(hr % np.uint64(w)).astype(np.int64)])
+    return est

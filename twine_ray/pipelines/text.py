@@ -898,3 +898,95 @@ def q_curate_corpus(sf_dir: str):
         })
 
     return survivors.map_batches(_split, batch_format="pandas")
+
+
+def q_cms_top_tokens(sf_dir: str, k: int = 50):
+    """Heavy-hitter tokens WITHOUT the vocabulary exchange — the
+    Count-Min route (functions/sketch.py): each input block emits one
+    256 KiB sketch row plus its local top candidates, sketches sum
+    through a combiner (elementwise add is associative under any
+    partitioning), candidates dedup through one tiny exchange, and the
+    driver touches only the single merged sketch + the bounded
+    candidate list.  The exact q_top_tokens shuffles every distinct
+    token; this shuffles O(blocks) sketch rows — the trade that wins
+    when the vocabulary is corpus-scale.  Rows-only (probabilistic);
+    tests/test_cms.py gates the overestimate property, top-k recall vs
+    the exact oracle and repartition determinism."""
+    from collections import Counter
+
+    import numpy as np
+
+    from twine_ray.functions.sketch import CMS_D, CMS_W, cms_counts, cms_query
+    from twine_ray.functions.textnorm import simple_tokens_ascii
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    ds = _docs(sf_dir, ["text"])
+    cand_per_block = 4 * k
+
+    def _block(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df["text"]:
+            c.update(simple_tokens_ascii((t or "").lower()))
+        sketch = cms_counts(list(c.keys()), list(c.values()))
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = top[:cand_per_block]
+        return pd.DataFrame({
+            "token": [None] + [t for t, _n in top],
+            "n_local": pd.Series(
+                [0] + [n for _t, n in top], dtype="int64"
+            ),
+            "sketch": [sketch.ravel().tolist()] + [None] * len(top),
+        })
+
+    rows = ds.map_batches(
+        _block, batch_format="pandas", batch_size=None,
+    ).materialize()
+
+    def _sum_sketch(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        df = df[df["sketch"].notna()]
+        if df.empty:
+            return pd.DataFrame({"gid": pd.Series([], dtype="int64"),
+                                 "sketch": pd.Series([], dtype=object)})
+        total = np.sum(
+            [np.asarray(s, dtype=np.int64) for s in df["sketch"]], axis=0
+        )
+        return pd.DataFrame({"gid": pd.Series([0], dtype="int64"),
+                             "sketch": [total.tolist()]})
+
+    merged = bucketed_group_reduce(
+        rows.map_batches(
+            lambda df: df[["sketch"]].assign(gid=0), batch_format="pandas"
+        ),
+        ["gid"], _sum_sketch, num_buckets=2,
+    ).take_all()
+    table = np.asarray(
+        merged[0]["sketch"], dtype=np.int64
+    ).reshape(CMS_D, CMS_W)
+
+    def _cands(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["token"].notna()]
+        out = df.groupby("token", as_index=False).agg(
+            n_local=("n_local", "max")
+        )
+        out = out.sort_values(["n_local", "token"], kind="mergesort",
+                              ascending=[False, True])
+        return out.head(40 * k)  # bounded driver list
+
+    cands = bucketed_group_reduce(
+        rows.map_batches(
+            lambda df: df[["token", "n_local"]], batch_format="pandas"
+        ),
+        ["token"], _cands, partial=False,
+    ).to_pandas()
+    cands = cands.sort_values(
+        ["n_local", "token"], kind="mergesort", ascending=[False, True]
+    ).head(40 * k)
+    toks = cands["token"].tolist()
+    est = cms_query(table, toks)
+    out = pd.DataFrame({"token": toks, "n": est}).sort_values(
+        ["n", "token"], kind="mergesort", ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out
