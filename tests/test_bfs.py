@@ -116,3 +116,27 @@ def test_path_pairs_min_depth_on_shortcut(ray_session):
     assert got[(1, 2)] == 1 and got[(1, 0)] == 2
     assert got[(2, 0)] == 1 and got[(2, 1)] == 2
     assert (0, 0) in got and got[(0, 0)] == 2  # 0->2->0
+
+
+def test_path_algebra_combinators(ray_session):
+    """^p, p|q, p/q on a hand graph: ^(1->2) = 2->1;
+    (1->2 | 2->3) / (2->3 | 3->4) = {1->3, 2->4}."""
+    import ray.data as rd
+
+    from twine_ray.stages.bfs import (
+        edges_inverse,
+        edges_seq,
+        edges_union,
+    )
+
+    p = rd.from_items([{"u": 1, "v": 2}])
+    q = rd.from_items([{"u": 2, "v": 3}, {"u": 3, "v": 4}])
+    inv = sorted(
+        (r["u"], r["v"]) for r in edges_inverse(p).take_all()
+    )
+    assert inv == [(2, 1)]
+    seq = sorted(
+        (r["u"], r["v"])
+        for r in edges_seq(edges_union(p, q), q).take_all()
+    )
+    assert seq == [(1, 3), (2, 4)]
