@@ -203,6 +203,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     picks["train_packing"] = _qs["train_packing"]
     picks["bpe_merges"] = _qs["bpe_merges"]
     picks["curate_corpus"] = _qs["curate_corpus"]
+    picks["event_funnel"] = _qs["event_funnel"]
+    picks["cohort_retention"] = _qs["cohort_retention"]
+    picks["cms_top_tokens"] = _qs["cms_top_tokens"]
     out = {}
     for name, fn in picks.items():
         t0 = time.perf_counter()
