@@ -516,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": relational.q_cohort_retention,
         "path_algebra": relational.q_path_algebra,
         "cms_top_tokens": text.q_cms_top_tokens,
+        "contrastive_negatives": text.q_contrastive_negatives,
         # --- KG pipeline (P/R-gated in tests/; _meta slice is oracled)
         "kg_flagship": kg_flagship,
         "kg_extract": kg_extract,
@@ -1473,6 +1474,38 @@ def oracle_sql() -> dict[str, str]:
             uq AS (SELECT u, v FROM p UNION SELECT u, v FROM q)
             SELECT DISTINCT ip.u AS u, uq.v AS v
             FROM ip JOIN uq ON ip.v = uq.u
+        """,
+        "contrastive_negatives": """
+            -- in-bucket cyclic negatives in (md5 hex, id) order:
+            -- doc at position p pairs with positions (p+j) mod m,
+            -- j = 1..least(3, m-1)
+            WITH o AS (
+                SELECT doc_id,
+                       (strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        ) - 1) % 8 AS shard,
+                       row_number() OVER (
+                           PARTITION BY (strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                           ) - 1) % 8
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                    doc_id ASC
+                       ) - 1 AS pos,
+                       COUNT(*) OVER (
+                           PARTITION BY (strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                           ) - 1) % 8
+                       ) AS m
+                FROM documents
+            )
+            SELECT a.doc_id, j AS neg_rank, b.doc_id AS neg_doc_id
+            FROM o a
+            JOIN LATERAL (
+                SELECT unnest(generate_series(
+                    1, least(3, CAST(a.m AS BIGINT) - 1))) AS j
+            ) g ON TRUE
+            JOIN o b ON b.shard = a.shard
+                    AND b.pos = (a.pos + g.j) % a.m
         """,
         "embed_neardup_clusters": """
             -- recursive-CTE closure over the SAME cosine pair set the

@@ -990,3 +990,61 @@ def q_cms_top_tokens(sf_dir: str, k: int = 50):
     ).head(k).reset_index(drop=True)
     out["n"] = out["n"].astype("int64")
     return out
+
+
+NEG_K = 3
+
+
+def q_contrastive_negatives(sf_dir: str, k: int = NEG_K):
+    """Deterministic negative sampling for contrastive training: within
+    each md5 bucket (same bucketing as train_shards), every doc takes
+    the next ``min(k, m-1)`` docs in (md5 hex, id) order — cyclically —
+    as its negatives.  Hash order is the seeded uniform draw, so the
+    pairing is stable under partitioning and needs NO corpus-wide id
+    broadcast: one bucket-keyed exchange of (id, hash) rows, complete
+    groups, vectorized np.roll per offset.  SQL-oracled via row_number
+    + modular self-join."""
+    import hashlib
+
+    import numpy as np
+
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def _hash(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].map(
+            lambda i: hashlib.md5(str(int(i)).encode()).hexdigest()
+        )
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "shard": h.map(
+                lambda x: int(x[0], 16) % N_TRAIN_SHARDS
+            ).astype("int64"),
+            "_h": h,
+        })
+
+    def _negs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _s, g in df.groupby("shard", sort=False):
+            g = g.sort_values(["_h", "doc_id"], kind="mergesort")
+            ids = g["doc_id"].to_numpy()
+            m = len(ids)
+            for j in range(1, min(k, m - 1) + 1):
+                outs.append(pd.DataFrame({
+                    "doc_id": ids,
+                    "neg_rank": np.full(m, j, dtype=np.int64),
+                    "neg_doc_id": np.roll(ids, -j),
+                }))
+        if not outs:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "neg_rank": pd.Series([], dtype="int64"),
+                "neg_doc_id": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_reduce(
+        ds.map_batches(_hash, batch_format="pandas"),
+        ["shard"], _negs, num_buckets=N_TRAIN_SHARDS, partial=False,
+    )
