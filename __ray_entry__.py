@@ -515,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": relational.q_event_funnel,
         "cohort_retention": relational.q_cohort_retention,
         "path_algebra": relational.q_path_algebra,
+        "path_optional": relational.q_path_optional,
         "cms_top_tokens": text.q_cms_top_tokens,
         "contrastive_negatives": text.q_contrastive_negatives,
         # --- KG pipeline (P/R-gated in tests/; _meta slice is oracled)
@@ -1474,6 +1475,32 @@ def oracle_sql() -> dict[str, str]:
             uq AS (SELECT u, v FROM p UNION SELECT u, v FROM q)
             SELECT DISTINCT ip.u AS u, uq.v AS v
             FROM ip JOIN uq ON ip.v = uq.u
+        """,
+        "path_optional": """
+            -- p? / q: identity over p's node domain union p, then one
+            -- sequence join with q
+            WITH p AS (
+                SELECT DISTINCT CAST(o_orderkey % 5000 AS BIGINT) AS u,
+                       CAST((o_orderkey * 7 + o_custkey) % 5000
+                            AS BIGINT) AS v
+                FROM orders
+            ),
+            q AS (
+                SELECT DISTINCT
+                       CAST((o_orderkey * 3 + 1) % 5000 AS BIGINT) AS u,
+                       CAST((o_custkey * 11 + 2) % 5000 AS BIGINT) AS v
+                FROM orders
+            ),
+            nodes AS (
+                SELECT DISTINCT u AS n FROM p
+                UNION SELECT DISTINCT v FROM p
+            ),
+            popt AS (
+                SELECT u, v FROM p
+                UNION SELECT n AS u, n AS v FROM nodes
+            )
+            SELECT DISTINCT popt.u AS u, q.v AS v
+            FROM popt JOIN q ON popt.v = q.u
         """,
         "contrastive_negatives": """
             -- in-bucket cyclic negatives in (md5 hex, id) order:

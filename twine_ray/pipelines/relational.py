@@ -1736,3 +1736,30 @@ def q_path_algebra(sf_dir: str):
     p = orders.map_batches(_p, batch_format="pandas")
     q = orders.map_batches(_q, batch_format="pandas")
     return edges_seq(edges_inverse(p), edges_union(p, q))
+
+
+def q_path_optional(sf_dir: str):
+    """``p? / q`` — the zero-or-one path operator composed with a
+    sequence: q itself (zero-length hop) unioned with p/q, deduped.
+    stages/bfs.edges_optional scopes the identity to p's node domain,
+    which the DuckDB oracle reconstructs the same way."""
+    from twine_ray.stages.bfs import edges_optional, edges_seq
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "u": (df["o_orderkey"] % 5000).astype("int64"),
+            "v": ((df["o_orderkey"] * 7 + df["o_custkey"]) % 5000)
+            .astype("int64"),
+        }).drop_duplicates()
+
+    def _q(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "u": ((df["o_orderkey"] * 3 + 1) % 5000).astype("int64"),
+            "v": ((df["o_custkey"] * 11 + 2) % 5000).astype("int64"),
+        }).drop_duplicates()
+
+    p = orders.map_batches(_p, batch_format="pandas")
+    q = orders.map_batches(_q, batch_format="pandas")
+    return edges_seq(edges_optional(p), q)

@@ -338,3 +338,24 @@ def edges_seq(a_ds, b_ds, num_partitions: int | None = None):
         joined.map_batches(_pairs, batch_format="pandas"),
         ["u", "v"], lambda df: df.drop_duplicates(),
     )
+
+
+def edges_optional(edges_ds):
+    """``p?`` (zero-or-one): p plus the identity pairs over p's node
+    domain (SPARQL evaluates zero-length paths over the terms of the
+    graph; we scope the domain to p's endpoints — the useful and
+    SQL-reconstructible reading for a single relation)."""
+    import pandas as pd
+
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    def _nodes(df: pd.DataFrame) -> pd.DataFrame:
+        n = pd.concat([df["u"], df["v"]], ignore_index=True)
+        n = n.drop_duplicates()
+        return pd.DataFrame({"u": n, "v": n})
+
+    ident = bucketed_group_reduce(
+        edges_ds.map_batches(_nodes, batch_format="pandas"),
+        ["u"], lambda df: df.drop_duplicates(),
+    )
+    return edges_union(edges_ds, ident)
