@@ -1579,8 +1579,12 @@ def oracle_sql() -> dict[str, str]:
             -- ties -> smallest centroid id.  Every step is integer,
             -- so the assignment hash-matches bit-for-bit.
             WITH e AS (
+                -- CAST to DOUBLE before scaling: the pipeline floors
+                -- the exact float64 product (ADVICE r3 — FLOAT*INT in
+                -- DuckDB evaluates in float32 and can floor lower)
                 SELECT vec_id, list_transform(embedding,
-                    x -> CAST(floor(x*1000000) AS BIGINT)) AS v
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                              AS BIGINT)) AS v
                 FROM embeddings
             ), c0 AS (
                 SELECT vec_id AS cid, v FROM e WHERE vec_id < 8
@@ -1595,11 +1599,20 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY vec_id ORDER BY dist, cid) AS rn
                     FROM d1) WHERE rn = 1
             ), u AS (
+                -- series bound derived from the list itself (not a
+                -- hardcoded dim) so a regenerated fixture can't
+                -- silently misalign the parallel unnest
                 SELECT vec_id, unnest(v) AS val,
-                       unnest(generate_series(1, 64)) AS idx FROM e
+                       unnest(generate_series(1, len(v))) AS idx FROM e
             ), m1 AS (
+                -- exact integer floor division (Python //): subtract
+                -- the non-negative python-mod, then exact division —
+                -- float64 /: would round above 2^53, DuckDB // alone
+                -- truncates toward zero on negative sums
                 SELECT a1.cid, u.idx,
-                       CAST(floor(SUM(u.val)*1.0/COUNT(*)) AS BIGINT)
+                       CAST((SUM(u.val)
+                             - ((SUM(u.val) % COUNT(*)) + COUNT(*))
+                               % COUNT(*)) // COUNT(*) AS BIGINT)
                            AS comp
                 FROM a1 JOIN u USING (vec_id)
                 GROUP BY a1.cid, u.idx
@@ -1630,8 +1643,10 @@ def oracle_sql() -> dict[str, str]:
             --   dot > 0 AND dot^2 * 25 >= 4 * |a|^2 * |b|^2
             -- in HUGEINT, matching the pipeline's unbounded-int check.
             WITH e AS (
+                -- CAST to DOUBLE before scaling (see embed_kmeans)
                 SELECT vec_id, list_transform(embedding,
-                    x -> CAST(floor(x*1000000) AS BIGINT)) AS v
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                              AS BIGINT)) AS v
                 FROM embeddings
             ), c0 AS (
                 SELECT vec_id AS cid, v FROM e WHERE vec_id < 8

@@ -168,9 +168,17 @@ class _AssignPartials:
 
     def __call__(self, t) -> pd.DataFrame:
         _, X = _batch_matrix(t)
-        a = _nearest(X, self.C)
         k, dim = self.C.shape
         cols: dict = {"cluster": np.arange(k, dtype=np.int64)}
+        if len(X) == 0:
+            # Ray Data can deliver empty blocks (post-filter, sparse
+            # repartition); emit an all-zero k-row partial — _list_matrix
+            # yields shape (0, 0) and X @ C.T would raise on dim mismatch
+            cols["cnt"] = np.zeros(k, dtype=np.int64)
+            for j in range(dim):
+                cols[f"s{j}"] = np.zeros(k, dtype=np.int64)
+            return pd.DataFrame(cols)
+        a = _nearest(X, self.C)
         cnt = np.bincount(a, minlength=k).astype(np.int64)
         cols["cnt"] = cnt
         sums = np.zeros((k, dim), dtype=np.int64)
@@ -234,6 +242,11 @@ class _AssignOnly:
         import pyarrow as pa
 
         ids, X = _batch_matrix(t)
+        if len(X) == 0:  # empty block: schema-stable empty output
+            return pa.table({
+                "vec_id": pa.array([], type=pa.int64()),
+                "cluster": pa.array([], type=pa.int64()),
+            })
         a = _nearest(X, self.C)
         return pa.table({
             "vec_id": pa.array(ids, type=pa.int64()),
@@ -348,6 +361,12 @@ def semdedup(sf_dir: str, k: int = DEFAULT_K):
 
         def __call__(self, t):
             ids, X = _batch_matrix(t)
+            if len(X) == 0:  # empty block: schema-stable empty output
+                return pa.table({
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cluster": pa.array([], type=pa.int64()),
+                    "v": pa.array([], type=pa.list_(pa.int64())),
+                })
             a = _nearest(X, self.C)
             return pa.table({
                 "vec_id": pa.array(ids, type=pa.int64()),

@@ -81,9 +81,14 @@ def bucketed_group_reduce(
     reduce_fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_buckets: int = 64,
     partial: bool = True,
+    final_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
 ):
     """partial per-batch reduce -> bucket keys -> ONE shuffle -> final
-    vectorized reduce per bucket."""
+    vectorized reduce per bucket.
+
+    ``final_fn`` (default: ``reduce_fn``) runs on the complete bucket
+    instead — for reductions whose last step adds columns the partial
+    must not (e.g. a rank over the final per-key top-k)."""
     if partial:
         ds = ds.map_batches(reduce_fn, batch_format="pandas")
 
@@ -91,8 +96,9 @@ def bucketed_group_reduce(
         return add_key_bucket(df, key_cols, num_buckets)
 
     ds = ds.map_batches(_bucket, batch_format="pandas")
+    last = final_fn if final_fn is not None else reduce_fn
 
     def _final(df: pd.DataFrame) -> pd.DataFrame:
-        return reduce_fn(df.drop(columns=[BUCKET_COL]))
+        return last(df.drop(columns=[BUCKET_COL]))
 
     return ds.groupby(BUCKET_COL).map_groups(_final, batch_format="pandas")
