@@ -69,6 +69,22 @@ def _init_ray(num_cpus: int) -> None:
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "100000"))
 
+# Quiet-box gate (VERDICT r3 "Next round #3"): the shared box's
+# neighbor load swings wall times >2x between adjacent runs; sampling
+# the headline only when the 1-min load average is low makes recorded
+# rounds comparable.  Bounded wait — if the box never quiets we still
+# record (with the load disclosed in the output).
+QUIET_LOAD = float(os.environ.get("BENCH_QUIET_LOAD", "8"))
+QUIET_MAX_WAIT = float(os.environ.get("BENCH_QUIET_MAX_WAIT", "180"))
+
+
+def _wait_quiet() -> None:
+    deadline = time.monotonic() + QUIET_MAX_WAIT
+    while time.monotonic() < deadline:
+        if os.getloadavg()[0] <= QUIET_LOAD:
+            return
+        time.sleep(5)
+
 
 def ensure_bench_corpus(n_pages: int) -> str:
     """Generate the deterministic synthetic pages corpus to Parquet ONCE
@@ -129,9 +145,12 @@ def bench_kg(sf_dir: str, num_cpus: int) -> dict:
     # untimed warm-up that both runs share).
     n_runs = int(os.environ.get("BENCH_HEADLINE_RUNS", "2"))
     samples = []
+    loads = []
     res = None
     for i in range(n_runs):
         shutil.rmtree(out_dir, ignore_errors=True)
+        _wait_quiet()  # see BENCH/BASELINE.md "Headline disclosure"
+        loads.append(round(os.getloadavg()[0], 2))
         t0 = time.perf_counter()
         res = run_kg_pipeline(
             pages,
@@ -147,6 +166,7 @@ def bench_kg(sf_dir: str, num_cpus: int) -> dict:
     return {
         "sec": dt,
         "samples": [round(s, 3) for s in samples],
+        "load_at_start": loads,
         "pages": n_pages,
         "triples": n_triples,
         "pages_per_sec": n_pages / dt,
@@ -192,7 +212,16 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__ as _entry
 
     _qs = _entry.queries()
+    # the shared triples-store cache (__ray_entry__._TRIPLES_CACHE) is
+    # built by the FIRST kg_* query; time it as its OWN line so the
+    # kg_* query numbers measure the query, not the store build
+    # (VERDICT r3 "What's wrong #2")
+    out = {}
+    t0 = time.perf_counter()
+    consume(_qs["kg_flagship"](sf_dir))
+    out["kg_store_build"] = round(time.perf_counter() - t0, 3)
     picks["kg_bgp"] = _qs["kg_bgp"]
+    picks["kg_sparql"] = _qs["kg_sparql"]
     picks["kg_bgp_agg"] = _qs["kg_bgp_agg"]
     picks["sample_stratified"] = _qs["sample_stratified"]
     picks["embed_kmeans"] = _qs["embed_kmeans"]
@@ -206,7 +235,6 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     picks["event_funnel"] = _qs["event_funnel"]
     picks["cohort_retention"] = _qs["cohort_retention"]
     picks["cms_top_tokens"] = _qs["cms_top_tokens"]
-    out = {}
     for name, fn in picks.items():
         t0 = time.perf_counter()
         consume(fn(sf_dir))

@@ -120,3 +120,41 @@ def test_sample_stratified_exact_and_partition_free(ray_session):
     pd.testing.assert_frame_equal(one, many)
     sizes = one.groupby("source").size()
     assert sizes["a"] == 5 and sizes["b"] == 5 and sizes["c"] == 3
+
+
+def test_langid_counts_match_scalar_spec(ray_session):
+    """q_doc_langid_counts (vectorized regex counts) equals the frozen
+    scalar spec functions/langid.langid_feature_counts per (doc, lang),
+    including edge shapes (empty text, punctuation-only, >4000 chars)."""
+    import pyarrow.parquet as pq
+
+    from twine_ray.functions.langid import langid_feature_counts
+    from twine_ray.pipelines.text import q_doc_langid_counts
+
+    SF = "/root/testdata/sf0.001"
+    got = (
+        q_doc_langid_counts(SF)
+        .to_pandas()
+        .set_index(["doc_id", "lang"])
+        .sort_index()
+    )
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    for doc_id, text in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+        for lang, (sw, tri) in langid_feature_counts(text or "").items():
+            row = got.loc[(doc_id, lang)]
+            assert int(row["sw_hits"]) == sw, (doc_id, lang)
+            assert int(row["tri_hits"]) == tri, (doc_id, lang)
+
+
+def test_langid_feature_counts_edges():
+    from twine_ray.functions.langid import langid_feature_counts
+
+    assert all(v == (0, 0)
+               for v in langid_feature_counts("").values())
+    # 'the' as token and inside a longer token: sw counts tokens only,
+    # tri counts every occurrence
+    c = langid_feature_counts("the theory of the")
+    assert c["en"][0] == 3  # 'the' x2 + 'of'
+    assert c["en"][1] >= 3  # trigram 'the' occurs 3x ('the', 'theory')

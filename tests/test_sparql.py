@@ -1,0 +1,307 @@
+"""SPARQL text front-end (stages/sparql.py): parser unit tests plus
+execution parity against the programmatic BGP algebra it maps onto."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from twine_ray.stages.sparql import (
+    SparqlSyntaxError,
+    parse_sparql,
+    sparql_query,
+)
+
+DC = "http://purl.org/dc/terms/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+# ---------------------------------------------------------------------------
+# Parser (driver-side, no Ray)
+# ---------------------------------------------------------------------------
+
+
+def _pats(plan):
+    return [tuple(str(t) for t in p) for p in plan["group"]["patterns"]]
+
+
+def test_parse_prefixes_and_terms():
+    plan = parse_sparql(
+        f'PREFIX dc: <{DC}> SELECT ?s WHERE {{ ?s dc:title "T" }}'
+    )
+    assert plan["form"] == "select"
+    assert _pats(plan) == [("s", f"{DC}title", "T")]
+    assert plan["select"] == ["s"]
+
+
+def test_parse_a_keyword_and_graph_block():
+    plan = parse_sparql(
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s a <http://x/T> } }"
+    )
+    assert _pats(plan) == [("g", "s", RDF_TYPE, "http://x/T")]
+
+
+def test_parse_base_resolution():
+    plan = parse_sparql(
+        "BASE <http://a/b/c/> SELECT ?s WHERE { ?s <../p> <g> }"
+    )
+    assert _pats(plan) == [("s", "http://a/b/p", "http://a/b/c/g")]
+
+
+def test_parse_predicate_object_lists():
+    plan = parse_sparql(
+        'SELECT * WHERE { ?s <http://p> "a", "b" ; <http://q> "c" . }'
+    )
+    assert _pats(plan) == [
+        ("s", "http://p", "a"),
+        ("s", "http://p", "b"),
+        ("s", "http://q", "c"),
+    ]
+
+
+def test_parse_path_sugar():
+    plan = parse_sparql(
+        "SELECT ?x ?y WHERE { ?x <http://p>/<http://q> ?y . "
+        "?u ^<http://r> ?v }"
+    )
+    pats = _pats(plan)
+    mid = pats[0][2]
+    assert pats[0] == ("x", "http://p", mid)
+    assert pats[1] == (mid, "http://q", "y")
+    assert pats[2] == ("v", "http://r", "u")  # ^ swaps endpoints
+
+
+def test_parse_string_escapes():
+    plan = parse_sparql(
+        r'SELECT ?s WHERE { ?s <http://p> "a\tbA" }'
+    )
+    assert _pats(plan)[0][2] == "a\tbA"
+
+
+def test_parse_filters():
+    plan = parse_sparql(
+        'SELECT ?s WHERE { ?s <http://p> ?v . '
+        'FILTER(?v != "x" && bound(?v)) FILTER regex(?v, "^a") }'
+    )
+    assert plan["group"]["filters"] == [
+        ("v", "!=", "x"), ("v", "bound"), ("v", "regex", "^a"),
+    ]
+
+
+def test_parse_values_forms():
+    one = parse_sparql(
+        'SELECT ?s WHERE { ?s <http://p> ?v . VALUES ?v { "a" "b" } }'
+    )
+    assert one["group"]["values"] == [{"v": "a"}, {"v": "b"}]
+    multi = parse_sparql(
+        "SELECT ?a ?b WHERE { ?a <http://p> ?b . "
+        'VALUES (?a ?b) { (<http://s> "x") (UNDEF "y") } }'
+    )
+    assert multi["group"]["values"] == [
+        {"a": "http://s", "b": "x"}, {"a": None, "b": "y"},
+    ]
+
+
+def test_parse_modifiers_and_aggregates():
+    plan = parse_sparql(
+        "SELECT DISTINCT ?v WHERE { ?s <http://p> ?v } "
+        "ORDER BY DESC(?v) ?s LIMIT 7 OFFSET 2"
+    )
+    assert plan["distinct"] and plan["limit"] == 7
+    assert plan["offset"] == 2
+    assert plan["order_by"] == [("v", "desc"), ("s", "asc")]
+    agg = parse_sparql(
+        "SELECT ?k (COUNT(*) AS ?n) (COUNT(?v) AS ?m) (MIN(?v) AS ?lo) "
+        "WHERE { ?s <http://k> ?k . ?s <http://p> ?v } GROUP BY ?k"
+    )
+    assert agg["aggs"] == {
+        "n": ("count",), "m": ("count_var", "v"), "lo": ("min", "v"),
+    }
+    assert agg["group_by"] == ["k"]
+
+
+@pytest.mark.parametrize("bad", [
+    "SELECT ?x WHERE { ?x ?p ?o . BIND(1 AS ?y) }",
+    "SELECT ?x WHERE { ?x ?p ?o . FILTER EXISTS { ?x ?p ?o } }",
+    'SELECT ?x WHERE { ?x ?p ?o . FILTER(?x = "a" || ?x = "b") }',
+    "SELECT ?x WHERE { OPTIONAL { OPTIONAL { ?x ?p ?o } } }",
+    'SELECT ?x WHERE { ?x <http://p> "lit"^^<http://dt> }',
+    "SELECT ?x WHERE { ?x <http://p>|<http://q> ?y }",
+    "SELECT ?x WHERE { ?x <http://p>* ?y }",
+    "SELECT (COUNT(*) AS ?n) WHERE { ?x ?p ?o }",  # agg, no GROUP BY
+    "SELECT ?x WHERE { ?x ?p ?o } HAVING (?x > 1)",
+    'CONSTRUCT { ?s <http://p> ?o } WHERE { ?s <http://p> ?o }',  # no GRAPH
+    "ASK { { ?a ?p ?o } UNION { ?b ?p ?o } }",
+    "DESCRIBE ?x",
+])
+def test_parse_rejects_outside_subset(bad):
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(bad)
+
+
+# ---------------------------------------------------------------------------
+# Execution parity vs the programmatic algebra
+# ---------------------------------------------------------------------------
+
+
+def _triples_ds(rows):
+    import ray.data as rd
+
+    n = len(rows["graph"])
+    rows.setdefault("obj_is_lit", [True] * n)
+    rows.setdefault("obj_dt", [""] * n)
+    rows.setdefault("obj_lang", [""] * n)
+    rows.setdefault("score", [1] * n)
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def _canon(res):
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture()
+def langs_ds(ray_session):
+    return _triples_ds({
+        "graph": ["g1", "g1", "g2", "g2", "g3"],
+        "subj":  ["s1", "s1", "s2", "s2", "s3"],
+        "pred":  ["lang", "title", "lang", "title", "lang"],
+        "obj":   ["en", "T1", "fr", "T2", "en"],
+    })
+
+
+def test_select_join_matches_bgp_match(langs_ds):
+    from twine_ray.stages.query import bgp_match
+
+    text = sparql_query(langs_ds, '''SELECT ?g ?t WHERE {
+        GRAPH ?g { ?s <lang> "en" . ?s <title> ?t } }''')
+    prog = bgp_match(langs_ds, [
+        ("?g", "?s", "lang", "en"), ("?g", "?s", "title", "?t"),
+    ], select=["g", "t"])
+    pd.testing.assert_frame_equal(_canon(text), _canon(prog))
+
+
+def test_optional_filter_values_roundtrip(langs_ds):
+    got = _canon(sparql_query(langs_ds, '''SELECT ?g ?lang ?t WHERE {
+        GRAPH ?g { ?s <lang> ?lang }
+        OPTIONAL { GRAPH ?g { ?s <title> ?t } }
+        FILTER(bound(?t))
+        VALUES ?lang { "en" "fr" } }'''))
+    assert list(got["g"]) == ["g1", "g2"]
+    assert list(got["t"]) == ["T1", "T2"]
+
+
+def test_optional_unmatched_keeps_null(langs_ds):
+    got = _canon(sparql_query(langs_ds, '''SELECT ?g ?t WHERE {
+        GRAPH ?g { ?s <lang> "en" }
+        OPTIONAL { GRAPH ?g { ?s <title> ?t } } }'''))
+    assert len(got) == 2
+    assert got["t"].isna().sum() == 1  # g3 has no title
+
+
+def test_modifiers(langs_ds):
+    got = sparql_query(langs_ds, '''SELECT DISTINCT ?lang WHERE {
+        GRAPH ?g { ?s <lang> ?lang } } ORDER BY DESC(?lang) LIMIT 1''')
+    assert _canon(got)["lang"].tolist() == ["fr"]
+    off = sparql_query(langs_ds, '''SELECT DISTINCT ?lang WHERE {
+        GRAPH ?g { ?s <lang> ?lang } }
+        ORDER BY ?lang LIMIT 5 OFFSET 1''')
+    assert _canon(off)["lang"].tolist() == ["fr"]
+
+
+def test_union_and_minus(langs_ds):
+    u = _canon(sparql_query(langs_ds, '''SELECT ?g ?v WHERE {
+        { GRAPH ?g { ?s <title> ?v } } UNION
+        { GRAPH ?g { ?s <lang> ?v } } }'''))
+    assert len(u) == 5
+    m = _canon(sparql_query(langs_ds, '''SELECT ?g ?t WHERE {
+        GRAPH ?g { ?s <title> ?t }
+        MINUS { GRAPH ?g { ?s2 <lang> "en" } } }'''))
+    assert list(m["g"]) == ["g2"]  # g1 is English
+
+
+def test_ask(langs_ds):
+    yes = sparql_query(langs_ds, 'ASK { GRAPH ?g { ?s <lang> "en" } }')
+    no = sparql_query(langs_ds, 'ASK { GRAPH ?g { ?s <lang> "zz" } }')
+    assert yes.take_all()[0]["ask"] is True
+    assert no.take_all()[0]["ask"] is False
+
+
+def test_aggregate(langs_ds):
+    got = _canon(sparql_query(langs_ds, '''
+        SELECT ?lang (COUNT(*) AS ?n) (COUNT(?t) AS ?titled)
+        WHERE { GRAPH ?g { ?s <lang> ?lang }
+                OPTIONAL { GRAPH ?g { ?s <title> ?t } } }
+        GROUP BY ?lang'''))
+    en = got[got["lang"] == "en"].iloc[0]
+    assert en["n"] == 2 and en["titled"] == 1
+
+
+def test_construct(langs_ds):
+    out = sparql_query(langs_ds, '''CONSTRUCT {
+        GRAPH ?g { ?s <hasLang> ?lang } }
+        WHERE { GRAPH ?g { ?s <lang> ?lang } }''').to_pandas()
+    assert len(out) == 3
+    assert set(out["pred"]) == {"hasLang"}
+    assert not out["obj_is_lit"].any()  # var obj -> IRI kind
+    lit = sparql_query(langs_ds, '''CONSTRUCT {
+        GRAPH ?g { ?s <mark> "yes" } }
+        WHERE { GRAPH ?g { ?s <lang> "en" } }''').to_pandas()
+    assert lit["obj_is_lit"].all()
+
+
+def test_describe_dataset_source(langs_ds):
+    out = sparql_query(langs_ds, "DESCRIBE <s1>").to_pandas()
+    assert set(out["pred"]) == {"lang", "title"}
+
+
+# ---------------------------------------------------------------------------
+# CLI over a real store
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def small_store(tmp_path_factory, ray_session):
+    from twine_ray.pipelines.kg import default_alias_rows, run_kg_pipeline
+    from twine_ray.sources.pages import synth_pages_dataset
+
+    out = str(tmp_path_factory.mktemp("sparql_store") / "kg")
+    run_kg_pipeline(synth_pages_dataset(12, concurrency=2), out,
+                    default_alias_rows(), num_buckets=4, concurrency=2,
+                    resume=False)
+    return os.path.join(out, "store")
+
+
+def test_cli_sparql_select(small_store, ray_session, capsys):
+    from twine_ray.cli import main
+
+    rc = main([
+        "sparql", small_store,
+        f'PREFIX dc: <{DC}> SELECT ?g ?t WHERE '
+        '{ GRAPH ?g { ?s dc:title ?t } } ORDER BY ?g LIMIT 3',
+    ])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0].split("\t") == ["g", "t"]
+    assert len(lines) == 4
+
+
+def test_cli_sparql_ask_and_errors(small_store, ray_session, capsys):
+    from twine_ray.cli import main
+
+    rc = main([
+        "sparql", small_store,
+        f'PREFIX dc: <{DC}> ASK {{ GRAPH ?g {{ ?s dc:title ?t }} }}',
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "true"
+    rc = main([
+        "sparql", small_store,
+        'ASK { GRAPH ?g { ?s <http://no.example/p> "never" } }',
+    ])
+    assert rc == 1
+    assert capsys.readouterr().out.strip() == "false"
+    rc = main(["sparql", small_store, "SELECT BOGUS"])
+    assert rc == 2

@@ -261,6 +261,50 @@ def cmd_ask(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_sparql(args) -> int:
+    """SPARQL *text* query over the store (stages/sparql.py subset —
+    the consumer-facing surface of Twine's store, which speaks SPARQL
+    strings: twine:libtwine/sparql.c / Spindle lookup endpoints).
+    SELECT prints TSV bindings; ASK prints true/false (exit 0/1);
+    CONSTRUCT / DESCRIBE print N-Quads."""
+    from twine_ray.stages.sparql import (
+        SparqlSyntaxError,
+        parse_sparql,
+        sparql_query,
+    )
+
+    if args.file:
+        with open(args.file, encoding="utf-8") as f:
+            text = f.read()
+    else:
+        text = args.query
+    if not text:
+        print("need a query string or --file", file=sys.stderr)
+        return 2
+    try:
+        form = parse_sparql(text)["form"]
+    except SparqlSyntaxError as e:
+        print(f"sparql syntax error: {e}", file=sys.stderr)
+        return 2
+    _ray_session()
+    res = sparql_query(args.store, text)
+    if form == "ask":
+        ok = bool(res.take_all()[0]["ask"])
+        print("true" if ok else "false")
+        return 0 if ok else 1
+    if form in ("construct", "describe"):
+        from twine_ray.sources.nquads import triple_row_to_nquad
+
+        for row in res.to_pandas().to_dict("records"):
+            print(triple_row_to_nquad(row))
+        return 0
+    df = res.to_pandas()
+    print("\t".join(df.columns))
+    for row in df.itertuples(index=False):
+        print("\t".join(str(v) for v in row))
+    return 0
+
+
 def cmd_describe(args) -> int:
     """SPARQL DESCRIBE analog: prints the resource's concise bounded
     description as N-Quads."""
@@ -408,6 +452,16 @@ def main(argv=None) -> int:
     pa_.add_argument("--pattern", action="append", required=True,
                      help="'graph subj pred obj' (or 3 terms)")
     pa_.set_defaults(fn=cmd_ask)
+
+    psq = sub.add_parser(
+        "sparql",
+        help="SPARQL text query (SELECT/ASK/CONSTRUCT/DESCRIBE subset)",
+    )
+    psq.add_argument("store")
+    psq.add_argument("query", nargs="?",
+                     help="query string (or use --file)")
+    psq.add_argument("--file", help="read the query from a file")
+    psq.set_defaults(fn=cmd_sparql)
 
     pdsc = sub.add_parser(
         "describe", help="concise bounded description of a resource"

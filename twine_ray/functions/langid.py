@@ -64,3 +64,25 @@ def detect_lang(text: str, min_chars: int = 20) -> str:
     if scores[best] < 0.15:
         return ""
     return best
+
+
+def langid_feature_counts(text: str) -> dict[str, tuple[int, int]]:
+    """INTEGER langid feature counts per language — the SQL-expressible
+    slice of the profile scoring (frozen scalar spec; the DuckDB oracle
+    reconstructs it exactly).  Uses ASCII lower + ``[a-z]+`` tokens so
+    both engines tokenize byte-identically (RE2 == Python on this
+    class); ``detect_lang`` itself casefolds and uses the Unicode word
+    class — the small divergence is documented, the COUNTS here are
+    what the driver hash-checks.
+
+    Returns {lang: (stopword_token_hits, trigram_occurrences)} with
+    non-overlapping left-to-right trigram counting (str.count — what a
+    replace()-based SQL count also yields)."""
+    sample = (text or "")[:4000].lower()
+    toks = re.findall(r"[a-z]+", sample)
+    out: dict[str, tuple[int, int]] = {}
+    for lang in sorted(_STOPWORDS):
+        sw = sum(1 for t in toks if t in _STOPWORDS[lang])
+        tri = sum(sample.count(t) for t in _TRIGRAMS[lang])
+        out[lang] = (sw, tri)
+    return out

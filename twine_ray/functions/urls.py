@@ -90,3 +90,106 @@ def normalize_url(url: str) -> str:
     query = _norm_pct(parts.query)
     fragment = _norm_pct(parts.fragment)
     return urlunsplit((scheme, netloc, path, query, fragment))
+
+
+# ---------------------------------------------------------------------------
+# RFC 3986 reference resolution (for Turtle @base / RDF-XML xml:base /
+# SPARQL BASE).  Twine delegates this to liburi/librdf
+# (twine:libtwine/rdf.c); here it is the spec algorithm directly —
+# §5.2.4 remove_dot_segments + §5.3 recomposition, STRICT mode (a
+# same-scheme reference is still a reference).
+# ---------------------------------------------------------------------------
+
+_IRI_SPLIT_RE = re.compile(
+    r"^(?:([A-Za-z][A-Za-z0-9+.-]*):)?(?://([^/?#]*))?([^?#]*)"
+    r"(?:\?([^#]*))?(?:#(.*))?$",
+    re.DOTALL,
+)
+
+
+def _split_iri(iri: str):
+    """RFC 3986 appendix-B split; unlike urlsplit it never lowercases
+    or validates — resolution must preserve the reference verbatim."""
+    m = _IRI_SPLIT_RE.match(iri)
+    return m.group(1), m.group(2), m.group(3) or "", m.group(4), \
+        m.group(5)
+
+
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4."""
+    out: list[str] = []
+    while path:
+        if path.startswith("../"):
+            path = path[3:]
+        elif path.startswith("./"):
+            path = path[2:]
+        elif path.startswith("/./"):
+            path = path[2:]
+        elif path == "/.":
+            path = "/"
+        elif path.startswith("/../"):
+            path = path[3:]
+            if out:
+                out.pop()
+        elif path == "/..":
+            path = "/"
+            if out:
+                out.pop()
+        elif path in (".", ".."):
+            path = ""
+        else:
+            cut = path.find("/", 1)
+            if cut == -1:
+                out.append(path)
+                path = ""
+            else:
+                out.append(path[:cut])
+                path = path[cut:]
+    return "".join(out)
+
+
+def _merge_paths(base_auth, base_path: str, ref_path: str) -> str:
+    """RFC 3986 §5.3 merge."""
+    if base_auth is not None and not base_path:
+        return "/" + ref_path
+    cut = base_path.rfind("/")
+    if cut == -1:
+        return ref_path
+    return base_path[: cut + 1] + ref_path
+
+
+def resolve_iri(base: str, ref: str) -> str:
+    """Resolve ``ref`` against ``base`` per RFC 3986 §5.2 (strict).
+    Pure and deterministic; neither input is normalized or validated —
+    garbage in, the spec's garbage out (librdf behaves the same)."""
+    r_scheme, r_auth, r_path, r_query, r_frag = _split_iri(ref)
+    b_scheme, b_auth, b_path, b_query, _ = _split_iri(base)
+    if r_scheme is not None:
+        scheme, auth = r_scheme, r_auth
+        path, query = remove_dot_segments(r_path), r_query
+    elif r_auth is not None:
+        scheme, auth = b_scheme, r_auth
+        path, query = remove_dot_segments(r_path), r_query
+    elif not r_path:
+        scheme, auth, path = b_scheme, b_auth, b_path
+        query = r_query if r_query is not None else b_query
+    else:
+        scheme, auth = b_scheme, b_auth
+        if r_path.startswith("/"):
+            path = remove_dot_segments(r_path)
+        else:
+            path = remove_dot_segments(
+                _merge_paths(b_auth, b_path, r_path)
+            )
+        query = r_query
+    out = ""
+    if scheme is not None:
+        out += scheme + ":"
+    if auth is not None:
+        out += "//" + auth
+    out += path
+    if query is not None:
+        out += "?" + query
+    if r_frag is not None:
+        out += "#" + r_frag
+    return out

@@ -118,6 +118,52 @@ def q_doc_langid(sf_dir: str):
     )
 
 
+def q_doc_langid_counts(sf_dir: str):
+    """INTEGER langid feature counts per (doc, language) — the
+    SQL-oracled twin of ``q_doc_langid`` (whose final language pick is
+    a heuristic): per language, the count of tokens in its distinctive
+    stopword set and the non-overlapping occurrence count of its
+    characteristic trigrams, over ``lower(text[:4000])`` with ASCII
+    ``[a-z]+`` tokens (functions/langid.langid_feature_counts is the
+    frozen scalar spec; tests pin this vectorized version to it).
+
+    Vectorization: one alternation regex per language for the stopword
+    hits (lookarounds pin full-token matches, so the count equals
+    token-set membership) and one compiled substring count per trigram
+    — all pandas C kernels, no per-row Python."""
+    import re as _re
+
+    from twine_ray.functions.langid import _STOPWORDS, _TRIGRAMS
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    langs = sorted(_STOPWORDS)
+    sw_pats = {
+        lang: r"(?<![a-z])(?:" + "|".join(
+            sorted(_STOPWORDS[lang])
+        ) + r")(?![a-z])"
+        for lang in langs
+    }
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        sample = df["text"].fillna("").str.slice(0, 4000).str.lower()
+        parts = []
+        for lang in langs:
+            tri = None
+            for t in _TRIGRAMS[lang]:
+                c = sample.str.count(_re.escape(t))
+                tri = c if tri is None else tri + c
+            parts.append(pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "lang": lang,
+                "sw_hits": sample.str.count(sw_pats[lang])
+                .astype("int64"),
+                "tri_hits": tri.astype("int64"),
+            }))
+        return pd.concat(parts, ignore_index=True)
+
+    return ds.map_batches(_f, batch_format="pandas")
+
+
 def q_doc_quality(sf_dir: str):
     """Quality features + scalar score per doc (rows-only check)."""
     ds = _docs(sf_dir, ["doc_id", "text"])

@@ -1,0 +1,831 @@
+"""SPARQL *text* front-end over the BGP algebra (stages/query.py).
+
+Twine's consumers speak SPARQL strings (reference:
+twine:libtwine/sparql.c — the engine's SPARQL client helpers — and
+Spindle's lookup endpoints, which answer SELECT/ASK/CONSTRUCT/DESCRIBE
+over the store this engine materializes; SURVEY §1.1).  This module
+parses the documented subset and maps it 1:1 onto the existing
+distributed algebra: parsing is driver-side (query strings are tiny),
+execution stays entirely in Ray Data.
+
+Supported subset (anything else raises ``SparqlSyntaxError``):
+
+- ``PREFIX`` / ``BASE`` declarations (BASE resolves relative IRIs via
+  functions/urls RFC 3986 merge)
+- ``SELECT [DISTINCT] ?v ... | * | (AGG(expr) AS ?v)`` with
+  ``GROUP BY`` — aggregates ``COUNT(*)``, ``COUNT(?v)``, ``MIN(?v)``,
+  ``MAX(?v)``
+- ``ASK``, ``CONSTRUCT { quad template } WHERE``, ``DESCRIBE <iri>``
+- ``WHERE { ... }`` group: triple blocks (``;`` predicate and ``,``
+  object lists), ``GRAPH ?g|<iri> { ... }`` quad scoping,
+  ``OPTIONAL { ... }``, ``FILTER(...)``, ``VALUES``,
+  ``MINUS { ... }`` (one group), ``{ A } UNION { B } [UNION ...]``
+- ``ORDER BY [ASC(?v)|DESC(?v)|?v]...``, ``LIMIT n``, ``OFFSET n``
+- predicate sugar: ``a`` = rdf:type; ``^p`` inverse; ``p1/p2``
+  sequence (rewritten into fresh intermediate variables — pure BGP
+  rewriting, no new operator)
+- FILTER subset: ``=  !=  <  <=  >  >=`` on ``?var`` vs a string /
+  number / IRI / other ``?var`` (lexicographic over term strings, the
+  algebra's documented semantics), ``regex(?v, "re")``,
+  ``contains(?v, "s")``, ``bound(?v)``, ``!bound(?v)``, joined by
+  ``&&``
+
+NOT supported (documented, explicit errors): nested OPTIONAL groups,
+subqueries, EXISTS/NOT EXISTS, BIND, SERVICE, property paths beyond
+``^`` and ``/`` (use the programmatic path algebra — stages/bfs), ``|``
+filter disjunction, language-tagged / datatype-suffixed literal terms
+(the store matches on lexical forms; obj_lang/obj_dt live in their own
+columns), blank nodes in query position.
+
+CONSTRUCT templates are QUAD templates: every template triple must sit
+inside a ``GRAPH`` block (the store is named-graph shaped; this is the
+TriG/SPARQL-Update quads syntax).  A quoted-literal template object
+emits a literal triple; a variable object defaults to IRI-kind
+(bindings carry no term kind — same contract as bgp_construct).
+"""
+
+from __future__ import annotations
+
+import re
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class SparqlSyntaxError(ValueError):
+    """Query text outside the documented SPARQL subset."""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRI><[^<>"{}|^`\\\s]*>)
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z_0-9]*)
+  | (?P<STRING>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
+  | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9.%-]*|:[A-Za-z_0-9.%-]*)
+  | (?P<NAME>[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<OP><=|>=|!=|&&|\^\^|[{}().;,*=<>!|/^])
+    """,
+    re.VERBOSE,
+)
+
+_STR_ESCAPES = {
+    "t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+
+def _unescape(body: str) -> str:
+    out = []
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch != "\\":
+            out.append(ch)
+            i += 1
+            continue
+        if i + 1 >= len(body):
+            raise SparqlSyntaxError("dangling backslash in literal")
+        nxt = body[i + 1]
+        if nxt in _STR_ESCAPES:
+            out.append(_STR_ESCAPES[nxt])
+            i += 2
+        elif nxt == "u":
+            out.append(chr(int(body[i + 2:i + 6], 16)))
+            i += 6
+        elif nxt == "U":
+            out.append(chr(int(body[i + 2:i + 10], 16)))
+            i += 10
+        else:
+            raise SparqlSyntaxError(f"unknown escape \\{nxt}")
+    return "".join(out)
+
+
+def tokenize(text: str) -> list[tuple[str, str]]:
+    tokens = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise SparqlSyntaxError(
+                f"unexpected character {text[pos]!r} at offset {pos}"
+            )
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        tokens.append((kind, m.group()))
+    tokens.append(("EOF", ""))
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+_KEYWORDS = {
+    "prefix", "base", "select", "ask", "construct", "describe", "where",
+    "distinct", "optional", "filter", "values", "minus", "union",
+    "graph", "order", "by", "asc", "desc", "limit", "offset", "group",
+    "count", "min", "max", "as", "undef", "regex", "contains", "bound",
+    "a", "true", "false",
+}
+
+_UNSUPPORTED = {
+    "bind": "BIND", "exists": "EXISTS", "service": "SERVICE",
+    "reduced": "REDUCED", "from": "FROM", "having": "HAVING",
+    "insert": "SPARQL Update", "delete": "SPARQL Update",
+}
+
+
+class _Var(str):
+    """Marker: a term that is a variable (holds the bare name)."""
+
+
+class _Lit(str):
+    """Marker: a term that is a quoted literal (holds the value)."""
+
+
+class _Parser:
+    def __init__(self, text: str) -> None:
+        self.toks = tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base: str | None = None
+        self._fresh = 0
+
+    # -- token helpers ----------------------------------------------------
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, word: str) -> bool:
+        kind, val = self.peek()
+        return kind == "NAME" and val.lower() == word
+
+    def eat_kw(self, word: str) -> bool:
+        if self.at_kw(word):
+            self.next()
+            return True
+        return False
+
+    def expect_kw(self, word: str) -> None:
+        if not self.eat_kw(word):
+            raise SparqlSyntaxError(
+                f"expected {word.upper()}, got {self.peek()[1]!r}"
+            )
+
+    def at_op(self, op: str) -> bool:
+        kind, val = self.peek()
+        return kind == "OP" and val == op
+
+    def eat_op(self, op: str) -> bool:
+        if self.at_op(op):
+            self.next()
+            return True
+        return False
+
+    def expect_op(self, op: str) -> None:
+        if not self.eat_op(op):
+            raise SparqlSyntaxError(
+                f"expected {op!r}, got {self.peek()[1]!r}"
+            )
+
+    def _reject_unsupported(self) -> None:
+        kind, val = self.peek()
+        if kind == "NAME" and val.lower() in _UNSUPPORTED:
+            raise SparqlSyntaxError(
+                f"{_UNSUPPORTED[val.lower()]} is outside the supported "
+                f"SPARQL subset (see stages/sparql.py docstring)"
+            )
+
+    def fresh_var(self) -> str:
+        self._fresh += 1
+        return f"__seq{self._fresh}"
+
+    # -- terms ------------------------------------------------------------
+
+    def _resolve_iri(self, body: str) -> str:
+        if self.base is not None and "://" not in body:
+            from twine_ray.functions.urls import resolve_iri
+
+            return resolve_iri(self.base, body)
+        return body
+
+    def _expand_pname(self, pname: str) -> str:
+        pfx, _, local = pname.partition(":")
+        if pfx not in self.prefixes:
+            raise SparqlSyntaxError(f"undeclared prefix {pfx!r}:")
+        return self.prefixes[pfx] + local
+
+    def parse_term(self, *, allow_var=True):
+        """IRI / prefixed name / 'a' / variable / literal / number."""
+        kind, val = self.peek()
+        if kind == "IRI":
+            self.next()
+            return self._resolve_iri(val[1:-1])
+        if kind == "PNAME":
+            self.next()
+            return self._expand_pname(val)
+        if kind == "VAR":
+            if not allow_var:
+                raise SparqlSyntaxError(f"variable {val} not allowed here")
+            self.next()
+            return _Var(val[1:])
+        if kind == "STRING":
+            self.next()
+            lit = _unescape(val[1:-1])
+            nk, nv = self.peek()
+            if (nk == "NAME" and nv.startswith("@")) or \
+                    (nk == "OP" and nv == "^^"):
+                raise SparqlSyntaxError(
+                    "language-tagged / datatyped literal terms are not "
+                    "in the subset (the store matches lexical forms; "
+                    "obj_lang/obj_dt are separate columns)"
+                )
+            return _Lit(lit)
+        if kind == "NUMBER":
+            self.next()
+            return _Lit(val)
+        if kind == "NAME":
+            low = val.lower()
+            if low == "a":
+                self.next()
+                return RDF_TYPE
+            if low in ("true", "false"):
+                self.next()
+                return _Lit(low)
+            if low == "undef":
+                self.next()
+                return None
+        raise SparqlSyntaxError(f"expected a term, got {val!r}")
+
+    def parse_predicate_path(self):
+        """Predicate position: iri | 'a' | ^elt | elt/elt...  Returns a
+        list of (iri_or_var, inverted) steps; len > 1 = sequence."""
+        steps = []
+        while True:
+            inverted = self.eat_op("^")
+            kind, val = self.peek()
+            if kind == "OP" and val in ("|", "*", "?"):
+                raise SparqlSyntaxError(
+                    f"property-path operator {val!r} is not in the text "
+                    "subset (use the programmatic path algebra, "
+                    "stages/bfs)"
+                )
+            term = self.parse_term()
+            steps.append((term, inverted))
+            if not self.eat_op("/"):
+                break
+        return steps
+
+    # -- prologue ---------------------------------------------------------
+
+    def parse_prologue(self) -> None:
+        while True:
+            if self.at_kw("prefix"):
+                self.next()
+                kind, val = self.next()
+                if kind != "PNAME" or not val.endswith(":"):
+                    raise SparqlSyntaxError(
+                        f"PREFIX needs 'name:', got {val!r}"
+                    )
+                ikind, ival = self.next()
+                if ikind != "IRI":
+                    raise SparqlSyntaxError(
+                        f"PREFIX needs an <iri>, got {ival!r}"
+                    )
+                self.prefixes[val[:-1]] = ival[1:-1]
+            elif self.at_kw("base"):
+                self.next()
+                ikind, ival = self.next()
+                if ikind != "IRI":
+                    raise SparqlSyntaxError("BASE needs an <iri>")
+                self.base = ival[1:-1]
+            else:
+                return
+
+    # -- group graph pattern ----------------------------------------------
+
+    def parse_group(self, *, allow_compound=True) -> dict:
+        """{ ... } -> dict(patterns, optional, filters, values, minus,
+        union_groups).  ``allow_compound=False`` (inner groups) refuses
+        nested OPTIONAL/MINUS/UNION — the documented subset."""
+        self.expect_op("{")
+        out = {"patterns": [], "optional": [], "filters": [],
+               "values": None, "minus": None, "union_groups": None}
+
+        # { A } UNION { B } form: group starts with a nested brace
+        if self.at_op("{") and allow_compound:
+            groups = [self.parse_group(allow_compound=False)]
+            while self.at_kw("union"):
+                self.next()
+                groups.append(self.parse_group(allow_compound=False))
+            self.expect_op("}")
+            if len(groups) == 1:
+                # plain nested group — flatten
+                inner = groups[0]
+                out["patterns"] = inner["patterns"]
+                out["filters"] = inner["filters"]
+                return out
+            out["union_groups"] = [
+                {"patterns": g["patterns"], "filters": g["filters"]}
+                for g in groups
+            ]
+            return out
+
+        while not self.at_op("}"):
+            self._reject_unsupported()
+            if self.at_kw("optional"):
+                if not allow_compound:
+                    raise SparqlSyntaxError(
+                        "nested OPTIONAL groups are not in the subset"
+                    )
+                self.next()
+                inner = self.parse_group(allow_compound=False)
+                if inner["filters"]:
+                    raise SparqlSyntaxError(
+                        "FILTER inside OPTIONAL is not in the subset "
+                        "(apply it to the outer group)"
+                    )
+                out["optional"].extend(inner["patterns"])
+            elif self.at_kw("minus"):
+                if not allow_compound:
+                    raise SparqlSyntaxError(
+                        "nested MINUS groups are not in the subset"
+                    )
+                if out["minus"] is not None:
+                    raise SparqlSyntaxError(
+                        "at most one MINUS group is supported"
+                    )
+                self.next()
+                inner = self.parse_group(allow_compound=False)
+                out["minus"] = inner["patterns"]
+            elif self.at_kw("filter"):
+                self.next()
+                out["filters"].extend(self.parse_filter())
+            elif self.at_kw("values"):
+                if not allow_compound:
+                    raise SparqlSyntaxError(
+                        "VALUES inside a nested group is not in the "
+                        "subset"
+                    )
+                self.next()
+                rows = self.parse_values()
+                if out["values"] is not None:
+                    raise SparqlSyntaxError("one VALUES block only")
+                out["values"] = rows
+            elif self.at_kw("graph"):
+                self.next()
+                gterm = self.parse_term()
+                inner = self.parse_group(allow_compound=False)
+                if inner["filters"]:
+                    raise SparqlSyntaxError(
+                        "FILTER inside GRAPH is not in the subset"
+                    )
+                for p in inner["patterns"]:
+                    if len(p) != 3:
+                        raise SparqlSyntaxError(
+                            "nested GRAPH blocks are not in the subset"
+                        )
+                    out["patterns"].append((gterm,) + p)
+            else:
+                out["patterns"].extend(self.parse_triples_block())
+            self.eat_op(".")
+        self.expect_op("}")
+        return out
+
+    def parse_triples_block(self) -> list[tuple]:
+        """subject (predicate objectList (';' predicate objectList)*)
+        with '/' and '^' path sugar rewritten to fresh variables."""
+        subj = self.parse_term()
+        if isinstance(subj, _Lit):
+            raise SparqlSyntaxError("literal subjects are invalid")
+        patterns = []
+        while True:
+            steps = self.parse_predicate_path()
+            objects = [self.parse_term()]
+            while self.eat_op(","):
+                objects.append(self.parse_term())
+            for obj in objects:
+                patterns.extend(self._expand_path(subj, steps, obj))
+            if not self.eat_op(";"):
+                break
+            if self.at_op(".") or self.at_op("}"):  # trailing ';'
+                break
+        return patterns
+
+    def _expand_path(self, subj, steps, obj) -> list[tuple]:
+        """(subj, [step...], obj) -> triple patterns; sequences thread
+        fresh variables, ^ swaps the endpoints of its step."""
+        pats = []
+        cur = subj
+        for n, (pred, inverted) in enumerate(steps):
+            if isinstance(pred, _Lit):
+                raise SparqlSyntaxError("literal predicates are invalid")
+            last = n == len(steps) - 1
+            nxt = obj if last else _Var(self.fresh_var())
+            s, o = (nxt, cur) if inverted else (cur, nxt)
+            pats.append((s, pred, o))
+            cur = nxt
+        return pats
+
+    # -- FILTER -----------------------------------------------------------
+
+    def parse_filter(self) -> list[tuple]:
+        """FILTER body -> list of (var, op, value) algebra specs (&&
+        conjunction becomes multiple specs)."""
+        if self.at_op("("):
+            self.next()
+            specs = [self._filter_atom()]
+            while self.eat_op("&&"):
+                specs.append(self._filter_atom())
+            if self.at_op("|"):
+                raise SparqlSyntaxError(
+                    "FILTER disjunction (||) is not in the subset"
+                )
+            self.expect_op(")")
+            return specs
+        return [self._filter_atom()]
+
+    def _filter_atom(self) -> tuple:
+        if self.eat_op("("):
+            spec = self._filter_atom()
+            self.expect_op(")")
+            return spec
+        if self.eat_op("!"):
+            self.expect_kw("bound")
+            self.expect_op("(")
+            var = self._expect_var()
+            self.expect_op(")")
+            return (var, "!bound")
+        if self.at_kw("bound"):
+            self.next()
+            self.expect_op("(")
+            var = self._expect_var()
+            self.expect_op(")")
+            return (var, "bound")
+        if self.at_kw("regex") or self.at_kw("contains"):
+            fn = self.next()[1].lower()
+            self.expect_op("(")
+            var = self._expect_var()
+            self.expect_op(",")
+            kind, val = self.next()
+            if kind != "STRING":
+                raise SparqlSyntaxError(f"{fn} needs a string argument")
+            self.expect_op(")")
+            return (var, fn, _unescape(val[1:-1]))
+        var = self._expect_var()
+        kind, opval = self.next()
+        ops = {"=": "==", "!=": "!=", "<": "<", "<=": "<=",
+               ">": ">", ">=": ">="}
+        if kind != "OP" or opval not in ops:
+            raise SparqlSyntaxError(
+                f"unsupported FILTER operator {opval!r}"
+            )
+        rhs = self.parse_term()
+        if isinstance(rhs, _Var):
+            rhs = f"?{rhs}"
+        else:
+            rhs = str(rhs)
+        return (var, ops[opval], rhs)
+
+    def _expect_var(self) -> str:
+        kind, val = self.next()
+        if kind != "VAR":
+            raise SparqlSyntaxError(f"expected a ?variable, got {val!r}")
+        return val[1:]
+
+    # -- VALUES -----------------------------------------------------------
+
+    def parse_values(self) -> list[dict]:
+        kind, val = self.peek()
+        if kind == "VAR":  # single-var short form
+            var = self._expect_var()
+            self.expect_op("{")
+            rows = []
+            while not self.at_op("}"):
+                term = self.parse_term(allow_var=False)
+                rows.append({var: None if term is None else str(term)})
+            self.expect_op("}")
+            return rows
+        self.expect_op("(")
+        names = []
+        while not self.at_op(")"):
+            names.append(self._expect_var())
+        self.next()
+        self.expect_op("{")
+        rows = []
+        while not self.at_op("}"):
+            self.expect_op("(")
+            row = {}
+            for name in names:
+                term = self.parse_term(allow_var=False)
+                row[name] = None if term is None else str(term)
+            self.expect_op(")")
+            rows.append(row)
+        self.expect_op("}")
+        return rows
+
+    # -- solution modifiers -------------------------------------------------
+
+    def parse_modifiers(self) -> dict:
+        out = {"order_by": None, "limit": None, "offset": 0,
+               "group_by": None}
+        while True:
+            if self.at_kw("group"):
+                self.next()
+                self.expect_kw("by")
+                gvars = []
+                while self.peek()[0] == "VAR":
+                    gvars.append(self._expect_var())
+                if not gvars:
+                    raise SparqlSyntaxError("GROUP BY needs variables")
+                out["group_by"] = gvars
+            elif self.at_kw("order"):
+                self.next()
+                self.expect_kw("by")
+                keys = []
+                while True:
+                    if self.at_kw("desc") or self.at_kw("asc"):
+                        d = self.next()[1].lower()
+                        self.expect_op("(")
+                        keys.append((self._expect_var(), d))
+                        self.expect_op(")")
+                    elif self.peek()[0] == "VAR":
+                        keys.append((self._expect_var(), "asc"))
+                    else:
+                        break
+                if not keys:
+                    raise SparqlSyntaxError("ORDER BY needs keys")
+                out["order_by"] = keys
+            elif self.at_kw("limit"):
+                self.next()
+                kind, val = self.next()
+                if kind != "NUMBER":
+                    raise SparqlSyntaxError("LIMIT needs an integer")
+                out["limit"] = int(val)
+            elif self.at_kw("offset"):
+                self.next()
+                kind, val = self.next()
+                if kind != "NUMBER":
+                    raise SparqlSyntaxError("OFFSET needs an integer")
+                out["offset"] = int(val)
+            else:
+                self._reject_unsupported()
+                if self.peek()[0] != "EOF":
+                    raise SparqlSyntaxError(
+                        f"unexpected trailing input: {self.peek()[1]!r}"
+                    )
+                return out
+
+    # -- query forms --------------------------------------------------------
+
+    def parse_query(self) -> dict:
+        self.parse_prologue()
+        if self.at_kw("select"):
+            return self._parse_select()
+        if self.at_kw("ask"):
+            self.next()
+            self.eat_kw("where")
+            group = self.parse_group()
+            if group["union_groups"] or group["minus"]:
+                raise SparqlSyntaxError(
+                    "ASK over UNION/MINUS is not in the subset"
+                )
+            if self.peek()[0] != "EOF":
+                raise SparqlSyntaxError("trailing input after ASK group")
+            return {"form": "ask", "group": group}
+        if self.at_kw("construct"):
+            self.next()
+            template = self._parse_construct_template()
+            self.expect_kw("where")
+            group = self.parse_group()
+            if group["union_groups"] or group["minus"] or \
+                    group["values"]:
+                raise SparqlSyntaxError(
+                    "CONSTRUCT over UNION/MINUS/VALUES is not in the "
+                    "subset"
+                )
+            if self.peek()[0] != "EOF":
+                raise SparqlSyntaxError("trailing input after CONSTRUCT")
+            return {"form": "construct", "group": group,
+                    "template": template}
+        if self.at_kw("describe"):
+            self.next()
+            term = self.parse_term(allow_var=False)
+            if not isinstance(term, str) or isinstance(term, _Lit):
+                raise SparqlSyntaxError("DESCRIBE needs an IRI")
+            if self.peek()[0] != "EOF":
+                raise SparqlSyntaxError(
+                    "DESCRIBE takes exactly one IRI in the subset"
+                )
+            return {"form": "describe", "iri": str(term)}
+        self._reject_unsupported()
+        raise SparqlSyntaxError(
+            f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got "
+            f"{self.peek()[1]!r}"
+        )
+
+    def _parse_select(self) -> dict:
+        self.expect_kw("select")
+        distinct = self.eat_kw("distinct")
+        select: list | None = []
+        aggs: dict = {}
+        if self.eat_op("*"):
+            select = None
+        else:
+            while True:
+                if self.peek()[0] == "VAR":
+                    select.append(self._expect_var())
+                elif self.at_op("("):
+                    self.next()
+                    name, spec = self._parse_agg()
+                    self.expect_op(")")
+                    aggs[name] = spec
+                    select.append(name)
+                else:
+                    break
+            if not select:
+                raise SparqlSyntaxError("SELECT needs variables or *")
+        self.eat_kw("where")
+        group = self.parse_group()
+        mods = self.parse_modifiers()
+        if aggs and not mods["group_by"]:
+            raise SparqlSyntaxError(
+                "aggregates need GROUP BY in the subset"
+            )
+        if mods["group_by"] and not aggs:
+            raise SparqlSyntaxError("GROUP BY needs aggregate selects")
+        return {"form": "select", "group": group, "select": select,
+                "distinct": distinct, "aggs": aggs, **mods}
+
+    def _parse_agg(self) -> tuple[str, tuple]:
+        kind, val = self.next()
+        fn = val.lower() if kind == "NAME" else None
+        if fn not in ("count", "min", "max"):
+            raise SparqlSyntaxError(
+                f"unsupported aggregate {val!r} (COUNT/MIN/MAX)"
+            )
+        self.expect_op("(")
+        if fn == "count" and self.eat_op("*"):
+            spec = ("count",)
+        else:
+            var = self._expect_var()
+            spec = ("count_var", var) if fn == "count" else (fn, var)
+        self.expect_op(")")
+        self.expect_kw("as")
+        name = self._expect_var()
+        return name, spec
+
+    def _parse_construct_template(self) -> list[tuple]:
+        """Quad template: GRAPH blocks of triples.  Returns 5-tuples
+        (graph, subj, pred, obj, obj_is_lit) for bgp_construct."""
+        self.expect_op("{")
+        entries: list[tuple] = []
+        while not self.at_op("}"):
+            if not self.eat_kw("graph"):
+                raise SparqlSyntaxError(
+                    "CONSTRUCT templates are quad templates here: wrap "
+                    "triples in GRAPH <g>/?g { ... } (the store is "
+                    "named-graph shaped)"
+                )
+            gterm = self.parse_term()
+            self.expect_op("{")
+            while not self.at_op("}"):
+                for s, p, o in self.parse_triples_block():
+                    entries.append((gterm, s, p, o, isinstance(o, _Lit)))
+                self.eat_op(".")
+            self.expect_op("}")
+            self.eat_op(".")
+        self.expect_op("}")
+        if not entries:
+            raise SparqlSyntaxError("empty CONSTRUCT template")
+        return entries
+
+
+# ---------------------------------------------------------------------------
+# Algebra mapping + execution
+# ---------------------------------------------------------------------------
+
+
+def _term_str(term):
+    """Parser term -> bgp_* pattern term ('?name' for variables)."""
+    if term is None:
+        return None
+    if isinstance(term, _Var):
+        return f"?{term}"
+    return str(term)
+
+
+def _pattern_tuples(patterns) -> list[tuple]:
+    return [tuple(_term_str(t) for t in p) for p in patterns]
+
+
+def parse_sparql(text: str) -> dict:
+    """Parse a query string into an algebra plan dict (driver-side)."""
+    return _Parser(text).parse_query()
+
+
+def sparql_query(source, text: str):
+    """Execute a SPARQL string of the documented subset over ``source``
+    (a store directory or a triples Dataset).  Returns the Dataset the
+    corresponding bgp_* algebra call returns — distributed execution,
+    driver-side parsing only."""
+    from twine_ray.stages.query import (
+        bgp_aggregate,
+        bgp_ask,
+        bgp_construct,
+        bgp_match,
+        bgp_minus,
+        bgp_union,
+        describe_resource,
+    )
+
+    plan = parse_sparql(text)
+    form = plan["form"]
+    if form == "describe":
+        return describe_resource(source, plan["iri"])
+    group = plan["group"]
+    patterns = _pattern_tuples(group["patterns"])
+    optional = _pattern_tuples(group["optional"])
+    if form == "ask":
+        return bgp_ask(source, patterns, optional=optional,
+                       filters=group["filters"], values=group["values"])
+    if form == "construct":
+        template = [
+            tuple(_term_str(t) for t in e[:4]) + (e[4],)
+            for e in plan["template"]
+        ]
+        return bgp_construct(source, patterns, template,
+                             optional=optional, filters=group["filters"])
+    # SELECT
+    if group["union_groups"] is not None:
+        if plan["aggs"] or group["optional"] or group["minus"] or \
+                group["values"]:
+            raise SparqlSyntaxError(
+                "UNION combines only with plain pattern groups in the "
+                "subset"
+            )
+        from twine_ray.stages.query import _apply_modifiers
+
+        res = bgp_union(
+            source,
+            [{"patterns": _pattern_tuples(g["patterns"]),
+              "filters": g["filters"]} for g in group["union_groups"]],
+            select=plan["select"],
+        )
+        out_vars = plan["select"] or list(res.schema().names)
+        return _apply_modifiers(
+            res, out_vars, distinct=plan["distinct"],
+            order_by=plan["order_by"], limit=plan["limit"],
+            offset=plan["offset"],
+        )
+    if plan["aggs"]:
+        if group["minus"] is not None or group["values"] is not None:
+            raise SparqlSyntaxError(
+                "GROUP BY combines only with pattern/OPTIONAL/FILTER "
+                "groups in the subset"
+            )
+        if plan["distinct"] or plan["order_by"] or \
+                plan["limit"] is not None:
+            raise SparqlSyntaxError(
+                "solution modifiers over GROUP BY are not in the subset"
+            )
+        extra = [v for v in plan["select"]
+                 if v not in plan["aggs"] and v not in plan["group_by"]]
+        if extra:
+            raise SparqlSyntaxError(
+                f"non-grouped, non-aggregate selects: {extra}"
+            )
+        return bgp_aggregate(
+            source, patterns, plan["group_by"], plan["aggs"],
+            optional=optional, filters=group["filters"],
+        )
+    if group["minus"] is not None:
+        if group["values"] is not None or plan["distinct"] or \
+                plan["order_by"] or plan["limit"] is not None:
+            raise SparqlSyntaxError(
+                "MINUS combines only with pattern/OPTIONAL/FILTER "
+                "groups in the subset"
+            )
+        return bgp_minus(
+            source, patterns, _pattern_tuples(group["minus"]),
+            optional=optional, filters=group["filters"],
+            select=plan["select"],
+        )
+    return bgp_match(
+        source, patterns, select=plan["select"], optional=optional,
+        filters=group["filters"], values=group["values"],
+        distinct=plan["distinct"], order_by=plan["order_by"],
+        limit=plan["limit"], offset=plan["offset"],
+    )
