@@ -261,6 +261,25 @@ def cmd_ask(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_watch(args) -> int:
+    """Continuous-ingest loop (the twine-writerd daemon analog,
+    pipelines/watch.py): poll a pages directory, feed each wave of new
+    Parquet shards through the incremental KG path, ack in
+    _WATCH_ACK.json.  Prints one JSON line per processed wave."""
+    from twine_ray.pipelines.kg import default_alias_rows
+    from twine_ray.pipelines.watch import watch_loop
+
+    _ray_session()
+    waves = watch_loop(
+        args.watch_dir, args.out, default_alias_rows(),
+        poll_sec=args.poll,
+        max_waves=args.max_waves,
+        idle_exit=args.idle_exit,
+        on_wave=lambda w: print(json.dumps(w), flush=True),
+    )
+    return 0 if waves or args.idle_exit else 1
+
+
 def cmd_sparql(args) -> int:
     """SPARQL *text* query over the store (stages/sparql.py subset —
     the consumer-facing surface of Twine's store, which speaks SPARQL
@@ -452,6 +471,22 @@ def main(argv=None) -> int:
     pa_.add_argument("--pattern", action="append", required=True,
                      help="'graph subj pred obj' (or 3 terms)")
     pa_.set_defaults(fn=cmd_ask)
+
+    pwch = sub.add_parser(
+        "watch",
+        help="continuous ingest: poll a pages dir, feed new shards "
+             "through the incremental KG path (twine-writerd analog)",
+    )
+    pwch.add_argument("watch_dir")
+    pwch.add_argument("--out", required=True)
+    pwch.add_argument("--poll", type=float, default=5.0,
+                      help="seconds between idle polls")
+    pwch.add_argument("--max-waves", type=int, dest="max_waves",
+                      help="exit after N processed waves")
+    pwch.add_argument("--idle-exit", type=int, dest="idle_exit",
+                      help="exit after N consecutive idle polls "
+                           "(default: run forever)")
+    pwch.set_defaults(fn=cmd_watch)
 
     psq = sub.add_parser(
         "sparql",
