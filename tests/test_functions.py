@@ -197,3 +197,37 @@ def test_bloom_no_false_negatives_and_merge(members, probes):
         # test negative when the bitmap holds <=200 of 131072 bits*4
         hits = bloom_might_contain(merged, miss).sum()
         assert hits <= max(1, len(miss) // 10)
+
+
+def test_resolve_iri_rfc3986_examples():
+    """Every normal + abnormal example from RFC 3986 §5.4 (strict)."""
+    from twine_ray.functions.urls import resolve_iri
+
+    B = "http://a/b/c/d;p?q"
+    cases = {
+        "g:h": "g:h", "g": "http://a/b/c/g", "./g": "http://a/b/c/g",
+        "g/": "http://a/b/c/g/", "/g": "http://a/g", "//g": "http://g",
+        "?y": "http://a/b/c/d;p?y", "g?y": "http://a/b/c/g?y",
+        "#s": "http://a/b/c/d;p?q#s", "g#s": "http://a/b/c/g#s",
+        "g?y#s": "http://a/b/c/g?y#s", ";x": "http://a/b/c/;x",
+        "g;x": "http://a/b/c/g;x", "g;x?y#s": "http://a/b/c/g;x?y#s",
+        "": "http://a/b/c/d;p?q", ".": "http://a/b/c/",
+        "./": "http://a/b/c/", "..": "http://a/b/", "../": "http://a/b/",
+        "../g": "http://a/b/g", "../..": "http://a/",
+        "../../": "http://a/", "../../g": "http://a/g",
+        "../../../g": "http://a/g", "../../../../g": "http://a/g",
+        "/./g": "http://a/g", "/../g": "http://a/g",
+        "g.": "http://a/b/c/g.", ".g": "http://a/b/c/.g",
+        "g..": "http://a/b/c/g..", "..g": "http://a/b/c/..g",
+        "./../g": "http://a/b/g", "./g/.": "http://a/b/c/g/",
+        "g/./h": "http://a/b/c/g/h", "g/../h": "http://a/b/c/h",
+        "g;x=1/./y": "http://a/b/c/g;x=1/y",
+        "g;x=1/../y": "http://a/b/c/y",
+        "g?y/./x": "http://a/b/c/g?y/./x",
+        "g?y/../x": "http://a/b/c/g?y/../x",
+        "g#s/./x": "http://a/b/c/g#s/./x",
+        "g#s/../x": "http://a/b/c/g#s/../x",
+        "http:g": "http:g",  # strict: same-scheme ref stays a ref
+    }
+    for ref, want in cases.items():
+        assert resolve_iri(B, ref) == want, ref

@@ -147,3 +147,50 @@ def test_rdfxml_nested_xml_base_override():
     assert "http://b.example/deep/d2" in by_subj
     assert by_subj["http://b.example/deep/d2"]["obj"] == \
         "http://b.example/deep/r2"
+
+
+_REL_BASES = [
+    "http://a.example/b/c/",
+    "http://a.example/b/c/d",
+    "https://h.test/x/y?q=1",
+    # non-hierarchical scheme: urllib's urljoin (the old resolver)
+    # returned the bare ref here because 'urn' is not in uses_relative;
+    # the strict RFC 3986 resolver merges the paths like librdf does
+    "urn:x:/p/q",
+]
+_relref = st.from_regex(
+    r"(\.\./)?[a-z]{1,5}(/[a-z]{1,4})?(#[a-z]{1,3})?", fullmatch=True
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.sampled_from(_REL_BASES),
+       st.lists(_relref, min_size=1, max_size=4, unique=True))
+def test_relative_iri_cross_format_agreement(base, refs):
+    """Turtle @base and RDF-XML xml:base resolve relative references
+    through INDEPENDENT plumbing (term parser vs about/resource
+    attributes); both must land on the strict-RFC-3986 resolution."""
+    from twine_ray.functions.urls import resolve_iri
+
+    want = {
+        (resolve_iri(base, r), "http://p/p", resolve_iri(base, r),
+         False, "", "")
+        for r in refs
+    }
+
+    ttl = f"@base <{base}> .\n" + "\n".join(
+        f"<{r}> <http://p/p> <{r}> ." for r in refs
+    )
+    assert _key_set(parse_turtle(ttl)) == want
+
+    xml = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/'
+        f'22-rdf-syntax-ns#" xmlns:ex="http://p/" xml:base="{base}">'
+        + "".join(
+            f'<rdf:Description rdf:about="{r}">'
+            f'<ex:p rdf:resource="{r}"/></rdf:Description>'
+            for r in refs
+        )
+        + "</rdf:RDF>"
+    ).encode()
+    assert _key_set(parse_rdfxml(xml)) == want

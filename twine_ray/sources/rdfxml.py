@@ -30,7 +30,7 @@ Output rows use the engine triple schema; malformed XML raises
 from __future__ import annotations
 
 import xml.etree.ElementTree as ET
-from urllib.parse import urljoin
+from twine_ray.functions.urls import resolve_iri
 
 from twine_ray.stages.triples import TRIPLES_SCHEMA  # noqa: F401  (re-export)
 
@@ -99,9 +99,9 @@ class _Parser:
                 "at most one of rdf:about/rdf:ID/rdf:nodeID allowed"
             )
         if about is not None:
-            return urljoin(base, about) if base else about
+            return resolve_iri(base, about) if base else about
         if rid is not None:
-            return urljoin(base, f"#{rid}") if base else f"#{rid}"
+            return resolve_iri(base, f"#{rid}") if base else f"#{rid}"
         if nid is not None:
             return f"_:{nid}"
         return self.fresh_bnode()
@@ -121,7 +121,7 @@ class _Parser:
             if pred == RDF_TYPE:
                 # W3C: an rdf:type property ATTRIBUTE takes a resource
                 # value — emit a type triple, not a literal
-                obj = urljoin(base, val) if base else val
+                obj = resolve_iri(base, val) if base else val
                 self.emit(subj, RDF_TYPE, obj, False)
                 continue
             if pred.startswith(RDF_NS):
@@ -142,7 +142,7 @@ class _Parser:
     def _reify(self, rid: str, base: str, subj: str, pred: str,
                obj: str, is_lit: bool, dt: str, lang: str) -> None:
         """rdf:ID reification sugar: four triples about <base>#rid."""
-        st = urljoin(base, f"#{rid}") if base else f"#{rid}"
+        st = resolve_iri(base, f"#{rid}") if base else f"#{rid}"
         self.emit(st, RDF_TYPE, RDF_NS + "Statement", False)
         self.emit(st, RDF_NS + "subject", subj, False)
         self.emit(st, RDF_NS + "predicate", pred, False)
@@ -200,7 +200,7 @@ class _Parser:
         if parse_type is not None:
             raise RdfXmlParseError(f"unsupported parseType {parse_type!r}")
         if resource is not None:
-            obj = urljoin(base, resource) if base else resource
+            obj = resolve_iri(base, resource) if base else resource
             emit_prop(obj, False)
             return
         if nid is not None:

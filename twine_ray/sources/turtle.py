@@ -25,7 +25,7 @@ callers that want Twine's log-and-skip contract catch it per message.
 from __future__ import annotations
 
 import re
-from urllib.parse import urljoin
+from twine_ray.functions.urls import resolve_iri
 
 from twine_ray.stages.triples import TRIPLES_SCHEMA  # noqa: F401  (re-export)
 
@@ -138,7 +138,7 @@ class _Parser:
     def _resolve_iri(self, raw: str) -> str:
         iri = _unescape(raw[1:-1])
         if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
-            return urljoin(self.base, iri)
+            return resolve_iri(self.base, iri)
         return iri
 
     def _expand_pname(self, pname: str) -> str:
