@@ -189,15 +189,20 @@ class _LshCandidateFilter:
 
         self.srp = _SrpBucket(dim, n_tables, n_planes)
         qkeys = resolve(qkeys_ref)  # (n_queries, T)
-        self.qsets = [set(qkeys[:, t].tolist())
-                      for t in range(qkeys.shape[1])]
+        # presorted per-table key arrays ONCE per actor: np.isin over a
+        # sorted int64 array per batch, no per-batch set->list hop
+        self.qarrs = [
+            np.unique(qkeys[:, t]) for t in range(qkeys.shape[1])
+        ]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
         mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         keys = self.srp.keys(mat)
         mask = np.zeros(len(df), dtype=bool)
-        for t, qset in enumerate(self.qsets):
-            mask |= np.isin(keys[:, t], list(qset))
+        for t, qarr in enumerate(self.qarrs):
+            mask |= np.isin(keys[:, t], qarr)
         return df[mask]
 
 
