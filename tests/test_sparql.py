@@ -305,3 +305,99 @@ def test_cli_sparql_ask_and_errors(small_store, ray_session, capsys):
     assert capsys.readouterr().out.strip() == "false"
     rc = main(["sparql", small_store, "SELECT BOGUS"])
     assert rc == 2
+
+
+# ---------------------------------------------------------------------------
+# Quantified paths (p+ / p{m,n} -> stages/bfs.path_pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_path_quantifiers():
+    plan = parse_sparql("SELECT ?x ?y WHERE { ?x <http://e>+ ?y }")
+    assert plan["group"]["path_quants"] == [
+        ("x", "http://e", "y", False, 1, 3)
+    ]
+    plan = parse_sparql("SELECT ?x ?y WHERE { ?x <http://e>{2,3} ?y }")
+    assert plan["group"]["path_quants"][0][4:] == (2, 3)
+    plan = parse_sparql("SELECT ?x ?y WHERE { ?x ^<http://e>{1,1} ?y }")
+    assert plan["group"]["path_quants"][0][3] is True
+
+
+@pytest.mark.parametrize("bad", [
+    "SELECT ?x WHERE { ?x <http://e>* ?y }",
+    "SELECT ?x WHERE { ?x <http://e>+/<http://f> ?y }",
+    "SELECT ?x WHERE { ?x <http://e>{0,2} ?y }",
+    "SELECT ?x WHERE { ?x <http://e>{3,2} ?y }",
+    "SELECT ?x WHERE { OPTIONAL { ?x <http://e>+ ?y } }",
+    "ASK { ?x <http://e>+ ?y }",
+    "SELECT ?x WHERE { ?x ?p+ ?y }",
+])
+def test_parse_path_quantifier_rejects(bad):
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(bad)
+
+
+def test_path_quant_execution_matches_manual_closure(ray_session):
+    # chain a -> b -> c -> d -> e plus a shortcut a -> c
+    ds = _triples_ds({
+        "graph": ["g"] * 5,
+        "subj":  ["a", "b", "c", "d", "a"],
+        "pred":  ["e"] * 5,
+        "obj":   ["b", "c", "d", "e", "c"],
+        "obj_is_lit": [False] * 5,
+    })
+    two = _canon(sparql_query(
+        ds, "SELECT ?x ?y WHERE { ?x <e>{1,2} ?y }"
+    ))
+    got = set(zip(two["x"], two["y"]))
+    assert got == {
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c"),
+        ("a", "d"), ("b", "d"), ("c", "e"),
+    }
+    # exactly-two-hops window (min_depth >= 2): shortcut a->c is 1 hop
+    ex2 = _canon(sparql_query(
+        ds, "SELECT ?x ?y WHERE { ?x <e>{2,2} ?y }"
+    ))
+    assert set(zip(ex2["x"], ex2["y"])) == {
+        ("a", "d"), ("b", "d"), ("c", "e"),
+    }
+    # inverse closure swaps every pair
+    inv = _canon(sparql_query(
+        ds, "SELECT ?x ?y WHERE { ?x ^<e>{1,2} ?y }"
+    ))
+    assert set(zip(inv["y"], inv["x"])) == got
+    # p+ is depth-bounded at 3 (documented)
+    plus = _canon(sparql_query(
+        ds, "SELECT ?x ?y WHERE { ?x <e>+ ?y }"
+    ))
+    assert ("a", "e") in set(zip(plus["x"], plus["y"]))  # 3 hops via a->c
+    # modifiers compose
+    lim = sparql_query(
+        ds, "SELECT DISTINCT ?y WHERE { ?x <e>{1,2} ?y } "
+            "ORDER BY ?y LIMIT 2"
+    )
+    assert _canon(lim)["y"].tolist() == ["b", "c"]
+
+
+def test_path_quant_seeded_closure(ray_session):
+    """Constant-endpoint quantified paths run the SEEDED closure
+    (bfs_reachable): <iri> p+ ?y walks forward, ?x p+ <iri> walks the
+    reversed edges; inverse composes."""
+    ds = _triples_ds({
+        "graph": ["g"] * 5,
+        "subj":  ["a", "b", "c", "d", "a"],
+        "pred":  ["e"] * 5,
+        "obj":   ["b", "c", "d", "e", "c"],
+        "obj_is_lit": [False] * 5,
+    })
+    fwd = _canon(sparql_query(ds, "SELECT ?y WHERE { <a> <e>+ ?y }"))
+    assert set(fwd["y"]) == {"b", "c", "d", "e"}  # depth <= 3
+    w2 = _canon(sparql_query(ds, "SELECT ?y WHERE { <a> <e>{2,2} ?y }"))
+    assert set(w2["y"]) == {"d"}  # c is 1 hop via the shortcut
+    back = _canon(sparql_query(ds, "SELECT ?x WHERE { ?x <e>{1,2} <d> }"))
+    assert set(back["x"]) == {"c", "b", "a"}  # a via the a->c shortcut
+    inv = _canon(sparql_query(ds, "SELECT ?y WHERE { <d> ^<e>{1,2} ?y }"))
+    assert set(inv["y"]) == set(back["x"])
+    both_const = "SELECT ?x WHERE { <a> <e>+ <d> }"
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(both_const) and sparql_query(ds, both_const)

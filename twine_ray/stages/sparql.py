@@ -24,6 +24,12 @@ Supported subset (anything else raises ``SparqlSyntaxError``):
 - predicate sugar: ``a`` = rdf:type; ``^p`` inverse; ``p1/p2``
   sequence (rewritten into fresh intermediate variables — pure BGP
   rewriting, no new operator)
+- path quantifiers ``p+`` and ``p{m,n}`` (bounded closure via
+  stages/bfs.path_pairs) when the quantified triple is the SOLE
+  pattern of the group with variable endpoints; ``p+`` is
+  DEPTH-BOUNDED at ``PLUS_MAX_DEPTH`` (3) like the programmatic
+  algebra — an unbounded ``+`` over a web-scale store is an
+  all-pairs explosion, the documented partitioning assumption
 - FILTER subset: ``=  !=  <  <=  >  >=`` on ``?var`` vs a string /
   number / IRI / other ``?var`` (lexicographic over term strings, the
   algebra's documented semantics), ``regex(?v, "re")``,
@@ -49,6 +55,10 @@ from __future__ import annotations
 import re
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+# p+ depth bound (SPARQL's + is unbounded; a bounded closure is the
+# scale-safe subset this engine documents — same bound style as
+# stages/bfs.path_pairs and the kg_path oracle)
+PLUS_MAX_DEPTH = 3
 
 
 class SparqlSyntaxError(ValueError):
@@ -68,7 +78,7 @@ _TOKEN_RE = re.compile(
   | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9.%-]*|:[A-Za-z_0-9.%-]*)
   | (?P<NAME>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<OP><=|>=|!=|&&|\^\^|[{}().;,*=<>!|/^])
+  | (?P<OP><=|>=|!=|&&|\^\^|[{}().;,*=<>!|/^+])
     """,
     re.VERBOSE,
 )
@@ -270,9 +280,13 @@ class _Parser:
         raise SparqlSyntaxError(f"expected a term, got {val!r}")
 
     def parse_predicate_path(self):
-        """Predicate position: iri | 'a' | ^elt | elt/elt...  Returns a
-        list of (iri_or_var, inverted) steps; len > 1 = sequence."""
+        """Predicate position: iri | 'a' | ^elt | elt/elt... with an
+        optional trailing quantifier ``+`` / ``{m,n}``.  Returns
+        (steps, quant): steps = [(iri_or_var, inverted)...]; quant =
+        None or (min_hops, max_hops) — a quantifier is only legal on a
+        single non-sequence step (checked by the caller's context)."""
         steps = []
+        quant = None
         while True:
             inverted = self.eat_op("^")
             kind, val = self.peek()
@@ -284,9 +298,39 @@ class _Parser:
                 )
             term = self.parse_term()
             steps.append((term, inverted))
+            if self.eat_op("+"):
+                quant = (1, PLUS_MAX_DEPTH)
+            elif self.at_op("{"):
+                self.next()
+                kind, val = self.next()
+                if kind != "NUMBER":
+                    raise SparqlSyntaxError("path {m,n} needs integers")
+                m = int(val)
+                n = m
+                if self.eat_op(","):
+                    kind, val = self.next()
+                    if kind != "NUMBER":
+                        raise SparqlSyntaxError(
+                            "path {m,n} needs integers"
+                        )
+                    n = int(val)
+                self.expect_op("}")
+                if m < 1 or n < m:
+                    raise SparqlSyntaxError(
+                        "path {m,n} needs 1 <= m <= n (zero-length "
+                        "paths are not in the subset)"
+                    )
+                quant = (m, n)
+            if quant is not None:
+                if len(steps) > 1 or self.at_op("/"):
+                    raise SparqlSyntaxError(
+                        "a path quantifier applies to a single step "
+                        "only (no sequence mixing in the subset)"
+                    )
+                break
             if not self.eat_op("/"):
                 break
-        return steps
+        return steps, quant
 
     # -- prologue ---------------------------------------------------------
 
@@ -322,7 +366,8 @@ class _Parser:
         nested OPTIONAL/MINUS/UNION — the documented subset."""
         self.expect_op("{")
         out = {"patterns": [], "optional": [], "filters": [],
-               "values": None, "minus": None, "union_groups": None}
+               "values": None, "minus": None, "union_groups": None,
+               "path_quants": []}
 
         # { A } UNION { B } form: group starts with a nested brace
         if self.at_op("{") and allow_compound:
@@ -331,6 +376,12 @@ class _Parser:
                 self.next()
                 groups.append(self.parse_group(allow_compound=False))
             self.expect_op("}")
+            for g in groups:
+                if g["path_quants"]:
+                    raise SparqlSyntaxError(
+                        "quantified paths combine only with a plain "
+                        "top-level group in the subset"
+                    )
             if len(groups) == 1:
                 # plain nested group — flatten
                 inner = groups[0]
@@ -357,6 +408,11 @@ class _Parser:
                         "FILTER inside OPTIONAL is not in the subset "
                         "(apply it to the outer group)"
                     )
+                if inner["path_quants"]:
+                    raise SparqlSyntaxError(
+                        "quantified paths inside OPTIONAL are not in "
+                        "the subset"
+                    )
                 out["optional"].extend(inner["patterns"])
             elif self.at_kw("minus"):
                 if not allow_compound:
@@ -369,6 +425,11 @@ class _Parser:
                     )
                 self.next()
                 inner = self.parse_group(allow_compound=False)
+                if inner["path_quants"]:
+                    raise SparqlSyntaxError(
+                        "quantified paths inside MINUS are not in the "
+                        "subset"
+                    )
                 out["minus"] = inner["patterns"]
             elif self.at_kw("filter"):
                 self.next()
@@ -392,6 +453,11 @@ class _Parser:
                     raise SparqlSyntaxError(
                         "FILTER inside GRAPH is not in the subset"
                     )
+                if inner["path_quants"]:
+                    raise SparqlSyntaxError(
+                        "quantified paths inside GRAPH blocks are not "
+                        "in the subset (quads scope the whole closure)"
+                    )
                 for p in inner["patterns"]:
                     if len(p) != 3:
                         raise SparqlSyntaxError(
@@ -399,30 +465,45 @@ class _Parser:
                         )
                     out["patterns"].append((gterm,) + p)
             else:
-                out["patterns"].extend(self.parse_triples_block())
+                pats, quants = self.parse_triples_block()
+                out["patterns"].extend(pats)
+                out["path_quants"].extend(quants)
             self.eat_op(".")
         self.expect_op("}")
         return out
 
-    def parse_triples_block(self) -> list[tuple]:
+    def parse_triples_block(self):
         """subject (predicate objectList (';' predicate objectList)*)
-        with '/' and '^' path sugar rewritten to fresh variables."""
+        with '/' and '^' path sugar rewritten to fresh variables.
+        Returns (patterns, quant_paths): quantified-path triples are
+        returned separately as (subj, pred, obj, inverted, m, n)."""
         subj = self.parse_term()
         if isinstance(subj, _Lit):
             raise SparqlSyntaxError("literal subjects are invalid")
         patterns = []
+        quants = []
         while True:
-            steps = self.parse_predicate_path()
+            steps, quant = self.parse_predicate_path()
             objects = [self.parse_term()]
             while self.eat_op(","):
                 objects.append(self.parse_term())
             for obj in objects:
-                patterns.extend(self._expand_path(subj, steps, obj))
+                if quant is not None:
+                    pred, inverted = steps[0]
+                    if isinstance(pred, _Var):
+                        raise SparqlSyntaxError(
+                            "quantified paths need a constant predicate"
+                        )
+                    quants.append(
+                        (subj, pred, obj, inverted) + quant
+                    )
+                else:
+                    patterns.extend(self._expand_path(subj, steps, obj))
             if not self.eat_op(";"):
                 break
             if self.at_op(".") or self.at_op("}"):  # trailing ';'
                 break
-        return patterns
+        return patterns, quants
 
     def _expand_path(self, subj, steps, obj) -> list[tuple]:
         """(subj, [step...], obj) -> triple patterns; sequences thread
@@ -598,9 +679,11 @@ class _Parser:
             self.next()
             self.eat_kw("where")
             group = self.parse_group()
-            if group["union_groups"] or group["minus"]:
+            if group["union_groups"] or group["minus"] or \
+                    group["path_quants"]:
                 raise SparqlSyntaxError(
-                    "ASK over UNION/MINUS is not in the subset"
+                    "ASK over UNION/MINUS/quantified paths is not in "
+                    "the subset"
                 )
             if self.peek()[0] != "EOF":
                 raise SparqlSyntaxError("trailing input after ASK group")
@@ -611,10 +694,10 @@ class _Parser:
             self.expect_kw("where")
             group = self.parse_group()
             if group["union_groups"] or group["minus"] or \
-                    group["values"]:
+                    group["values"] or group["path_quants"]:
                 raise SparqlSyntaxError(
-                    "CONSTRUCT over UNION/MINUS/VALUES is not in the "
-                    "subset"
+                    "CONSTRUCT over UNION/MINUS/VALUES/quantified "
+                    "paths is not in the subset"
                 )
             if self.peek()[0] != "EOF":
                 raise SparqlSyntaxError("trailing input after CONSTRUCT")
@@ -702,7 +785,13 @@ class _Parser:
             gterm = self.parse_term()
             self.expect_op("{")
             while not self.at_op("}"):
-                for s, p, o in self.parse_triples_block():
+                pats, quants = self.parse_triples_block()
+                if quants:
+                    raise SparqlSyntaxError(
+                        "quantified paths are not allowed in CONSTRUCT "
+                        "templates"
+                    )
+                for s, p, o in pats:
                     entries.append((gterm, s, p, o, isinstance(o, _Lit)))
                 self.eat_op(".")
             self.expect_op("}")
@@ -736,6 +825,119 @@ def parse_sparql(text: str) -> dict:
     return _Parser(text).parse_query()
 
 
+def _exec_path_quant(source, plan):
+    """One quantified-path triple as the whole group: extract the
+    predicate's edge set (bound-term-pruned over a store dir), run the
+    bounded closure, filter to the [m, n] hop window, project.
+
+    Two execution shapes (both from stages/bfs — the kg_path /
+    sameAs-chain machinery):
+    - ?x p+ ?y (both variables): all-pairs ``path_pairs``
+    - <iri> p+ ?y / ?x p+ <iri> (one constant): SEEDED
+      ``bfs_reachable`` — the entity-lookup shape; the constant end
+      seeds the frontier (reversed edges when the object is bound)."""
+    import pyarrow as pa
+
+    from twine_ray.stages.bfs import bfs_reachable, path_pairs
+    from twine_ray.stages.query import _apply_modifiers, match_triples
+
+    group = plan["group"]
+    if group["patterns"] or group["optional"] or group["filters"] or \
+            group["values"] is not None or group["minus"] is not None \
+            or len(group["path_quants"]) != 1 or plan["aggs"]:
+        raise SparqlSyntaxError(
+            "a quantified path must be the SOLE pattern of the group "
+            "(the subset — closures do not join with other patterns)"
+        )
+    subj, pred, obj, inverted, m, n = group["path_quants"][0]
+    if isinstance(subj, _Lit) or isinstance(obj, _Lit):
+        raise SparqlSyntaxError(
+            "quantified-path endpoints must be ?variables or IRIs"
+        )
+    s_var, o_var = isinstance(subj, _Var), isinstance(obj, _Var)
+    if not s_var and not o_var:
+        raise SparqlSyntaxError(
+            "at least one quantified-path endpoint must be a "
+            "?variable in the subset"
+        )
+    if s_var and o_var and str(subj) == str(obj):
+        raise SparqlSyntaxError(
+            "quantified paths need distinct endpoint variables"
+        )
+    pred = str(pred)
+
+    if isinstance(source, str):
+        scan = match_triples(source, pred=pred)
+    else:
+        scan = source
+
+    def _edges_fn(flip: bool):
+        def _edges(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.equal(t["pred"], pred))
+            u, v = ("obj", "subj") if flip else ("subj", "obj")
+            return pa.table({"u": t[u], "v": t[v]})
+
+        return _edges
+
+    if s_var and o_var:
+        svar, ovar = str(subj), str(obj)
+        pairs = path_pairs(
+            scan.map_batches(_edges_fn(inverted),
+                             batch_format="pyarrow"),
+            max_depth=n,
+        )
+
+        def _window(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.greater_equal(t["min_depth"], m))
+            return pa.table({svar: t["start"], ovar: t["node"]})
+
+        res = pairs.map_batches(_window, batch_format="pyarrow")
+        bound_vars = [svar, ovar]
+    else:
+        # seeded closure: the constant end seeds the frontier; when
+        # the OBJECT is the constant, walk the edges backwards
+        if s_var:
+            seed, var, flip = str(obj), str(subj), not inverted
+        else:
+            seed, var, flip = str(subj), str(obj), inverted
+        reach = bfs_reachable(
+            scan.map_batches(_edges_fn(flip), batch_format="pyarrow"),
+            [seed], max_depth=n,
+        )
+
+        def _window1(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.greater_equal(t["min_depth"], m))
+            return pa.table({var: t["node"]})
+
+        res = reach.map_batches(_window1, batch_format="pyarrow")
+        bound_vars = [var]
+
+    out_vars = plan["select"] or bound_vars
+    unknown = [v for v in out_vars if v not in bound_vars]
+    if unknown:
+        raise SparqlSyntaxError(
+            f"select names unbound variables: {unknown}"
+        )
+    if plan["select"] is not None and plan["select"] != bound_vars:
+        res = res.map_batches(
+            lambda t, ov=tuple(out_vars): pa.table(
+                {v: t[v] for v in ov}
+            ),
+            batch_format="pyarrow",
+        )
+    return _apply_modifiers(
+        res, out_vars, distinct=plan["distinct"],
+        order_by=plan["order_by"], limit=plan["limit"],
+        offset=plan["offset"],
+    )
+
+
 def sparql_query(source, text: str):
     """Execute a SPARQL string of the documented subset over ``source``
     (a store directory or a triples Dataset).  Returns the Dataset the
@@ -756,6 +958,12 @@ def sparql_query(source, text: str):
     if form == "describe":
         return describe_resource(source, plan["iri"])
     group = plan["group"]
+    if group.get("path_quants"):
+        if form != "select":
+            raise SparqlSyntaxError(
+                "quantified paths are SELECT-only in the subset"
+            )
+        return _exec_path_quant(source, plan)
     patterns = _pattern_tuples(group["patterns"])
     optional = _pattern_tuples(group["optional"])
     if form == "ask":
