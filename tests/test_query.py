@@ -772,3 +772,41 @@ def test_bgp_join_order_invariance(store, ray_session):
         else:
             pd.testing.assert_frame_equal(got, ref)
     assert len(ref) > 0
+
+
+def test_filter_pushdown_equals_post_filter(ray_session):
+    """FILTER pushdown (pre-join pattern pre-filter) is invisible:
+    results equal the unpushed semantics, including filters that mix a
+    pushable spec (single-pattern var) with an unpushable one (optional
+    var bound-ness) and a two-pattern var comparison."""
+    import pandas as pd
+
+    ds = _triples_ds({
+        "graph": ["g"] * 8,
+        "subj":  ["s1", "s2", "s3", "s4", "s1", "s2", "s3", "s1"],
+        "pred":  ["lang"] * 4 + ["title"] * 3 + ["note"],
+        "obj":   ["en", "fr", "de", "en", "T1", "T2", "T3", "N1"],
+    })
+    from twine_ray.stages.query import bgp_match
+
+    got = bgp_match(
+        ds,
+        [(None, "?s", "lang", "?lang")],
+        optional=[(None, "?s", "title", "?title")],
+        filters=[("lang", "!=", "en"), ("title", "bound")],
+    ).to_pandas().sort_values(["s"]).reset_index(drop=True)
+    # expected: fr/de rows that have titles -> s2, s3
+    assert list(got["s"]) == ["s2", "s3"]
+    assert list(got["lang"]) == ["fr", "de"]
+
+    # two-pattern var comparison is NOT pushable (spans patterns):
+    # still correct through the final group filter
+    got2 = bgp_match(
+        ds,
+        [(None, "?s", "lang", "?lang"), (None, "?s", "title", "?title")],
+        filters=[("lang", ">", "?title")],
+    ).to_pandas()
+    # lowercase langs sort after uppercase titles in byte order, so
+    # every joined row passes the cross-pattern comparison
+    assert {tuple(r) for r in got2[["s", "lang", "title"]].to_numpy()} \
+        == {("s1", "en", "T1"), ("s2", "fr", "T2"), ("s3", "de", "T3")}

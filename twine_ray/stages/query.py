@@ -444,6 +444,22 @@ def bgp_match(source, patterns, select: list[str] | None = None,
             return match_triples(source, **bound)
         return source
 
+    def _pushable(spec, pat_vars) -> bool:
+        """FILTER pushdown test: a filter whose variables are ALL
+        bound by one required pattern can pre-filter that pattern's
+        binding set before any join — sound because required-pattern
+        bindings are never null and filters are idempotent (the final
+        group filter still applies, so pushdown can only shrink join
+        inputs, never change the result)."""
+        var, op, *rest = spec
+        if var.lstrip("?") not in pat_vars:
+            return False
+        if op in ("bound", "!bound"):
+            return False  # null semantics belong after OPTIONAL joins
+        if rest and isinstance(rest[0], str) and rest[0].startswith("?"):
+            return rest[0][1:] in pat_vars
+        return True
+
     # evaluate every required pattern once (they must materialize for
     # the joins anyway), then GREEDY JOIN ORDER: start from the
     # smallest binding set and repeatedly join the smallest remaining
@@ -458,6 +474,15 @@ def bgp_match(source, patterns, select: list[str] | None = None,
             if binds.count() == 0:
                 return _empty()
             continue
+        if filters:
+            pat_vars = set(variables.values())
+            push = [f for f in filters if _pushable(f, pat_vars)]
+            if push:
+                pmask = _compile_filters(push, pat_vars)
+                binds = binds.map_batches(
+                    lambda t, pm=pmask: t.filter(pm(t)),
+                    batch_format="pyarrow",
+                )
         binds = binds.materialize()
         n = binds.count()
         if n == 0:
