@@ -469,13 +469,30 @@ def bgp_match(source, patterns, select: list[str] | None = None,
     # product unless the pattern graph is genuinely disconnected
     pending: list[list] = []
     for idx, (bound, variables) in enumerate(parsed):
-        binds = _pattern_bindings(_scan(bound), bound, variables)
+        # ==-literal filters become BOUND SCAN TERMS: over a store dir
+        # the equality pushes into match_triples and prunes Parquet
+        # row groups, not just rows (FILTER(?lang = "en") scans like a
+        # bound-object pattern)
+        scan_bound = dict(bound)
+        if filters and variables:
+            for var, op, *rest in filters:
+                if op != "==" or not rest:
+                    continue
+                val = rest[0]
+                if isinstance(val, str) and val.startswith("?"):
+                    continue
+                v = var.lstrip("?")
+                for col, pvar in variables.items():
+                    if pvar == v and col not in scan_bound:
+                        scan_bound[col] = val
+        binds = _pattern_bindings(_scan(scan_bound), scan_bound,
+                                  variables)
         if not variables:  # ASK guard
             if binds.count() == 0:
                 return _empty()
             continue
+        pat_vars = set(variables.values())
         if filters:
-            pat_vars = set(variables.values())
             push = [f for f in filters if _pushable(f, pat_vars)]
             if push:
                 pmask = _compile_filters(push, pat_vars)
@@ -483,6 +500,19 @@ def bgp_match(source, patterns, select: list[str] | None = None,
                     lambda t, pm=pmask: t.filter(pm(t)),
                     batch_format="pyarrow",
                 )
+        if values is not None:
+            # VALUES pushdown: when every inline row constrains only
+            # THIS pattern's variables, the OR-of-ANDs mask depends on
+            # columns this pattern binds — pre-filtering is exact (and
+            # the final application is idempotent anyway)
+            vrows = [
+                {k.lstrip("?"): v for k, v in row.items()}
+                for row in values
+            ]
+            if vrows and all(
+                set(r) and set(r) <= pat_vars for r in vrows
+            ):
+                binds = _apply_values(binds, vrows)
         binds = binds.materialize()
         n = binds.count()
         if n == 0:
