@@ -401,3 +401,34 @@ def test_path_quant_seeded_closure(ray_session):
     both_const = "SELECT ?x WHERE { <a> <e>+ <d> }"
     with pytest.raises(SparqlSyntaxError):
         parse_sparql(both_const) and sparql_query(ds, both_const)
+
+
+def test_aggregate_with_modifiers(langs_ds):
+    """ORDER BY / LIMIT / OFFSET compose over GROUP BY; aggregate int
+    columns survive the bounded offset slice with their types."""
+    got = _canon(sparql_query(langs_ds, '''
+        SELECT ?lang (COUNT(*) AS ?n)
+        WHERE { GRAPH ?g { ?s <lang> ?lang } }
+        GROUP BY ?lang ORDER BY DESC(?n) ?lang LIMIT 1'''))
+    assert got["lang"].tolist() == ["en"] and got["n"].tolist() == [2]
+    off = sparql_query(langs_ds, '''
+        SELECT ?lang (COUNT(*) AS ?n)
+        WHERE { GRAPH ?g { ?s <lang> ?lang } }
+        GROUP BY ?lang ORDER BY ?lang LIMIT 5 OFFSET 1''').to_pandas()
+    assert off["lang"].tolist() == ["fr"]
+    assert off["n"].dtype.kind == "i"  # int64 preserved through offset
+
+
+def test_cli_sparql_explain(small_store, ray_session, capsys):
+    import json as _json
+
+    from twine_ray.cli import main
+
+    rc = main([
+        "sparql", small_store,
+        "SELECT ?x ?y WHERE { ?x <http://e>+ ?y }", "--explain",
+    ])
+    assert rc == 0
+    plan = _json.loads(capsys.readouterr().out)
+    assert plan["form"] == "select"
+    assert plan["group"]["path_quants"][0][:3] == ["x", "http://e", "y"]

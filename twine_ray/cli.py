@@ -301,10 +301,14 @@ def cmd_sparql(args) -> int:
         print("need a query string or --file", file=sys.stderr)
         return 2
     try:
-        form = parse_sparql(text)["form"]
+        plan = parse_sparql(text)
+        form = plan["form"]
     except SparqlSyntaxError as e:
         print(f"sparql syntax error: {e}", file=sys.stderr)
         return 2
+    if args.explain:
+        print(json.dumps(plan, indent=1, sort_keys=True, default=str))
+        return 0
     _ray_session()
     res = sparql_query(args.store, text)
     if form == "ask":
@@ -496,6 +500,8 @@ def main(argv=None) -> int:
     psq.add_argument("query", nargs="?",
                      help="query string (or use --file)")
     psq.add_argument("--file", help="read the query from a file")
+    psq.add_argument("--explain", action="store_true",
+                     help="print the parsed algebra plan, don't run")
     psq.set_defaults(fn=cmd_sparql)
 
     pdsc = sub.add_parser(

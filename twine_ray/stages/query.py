@@ -351,10 +351,31 @@ def _apply_modifiers(ds, out_vars, distinct=False, order_by=None,
         head = ds.limit(offset + limit)
         if offset:
             rows = head.take_all()  # bounded: offset+limit rows
-            tbl = pa.Table.from_pylist(
-                rows[offset:],
-                schema=pa.schema([(v, pa.string()) for v in out_vars]),
+            # build against the head's OWN schema when it is Arrow
+            # (aggregate outputs carry int64 columns; an all-string
+            # schema would corrupt them); pandas-block schemas fall
+            # back to inference with null-typed columns cast to string
+            # (the all-null-OPTIONAL hazard the fixed schema guarded)
+            sch = head.schema()
+            pa_schema = (
+                getattr(sch, "base_schema", None)
+                if sch is not None else None
             )
+            if isinstance(pa_schema, pa.Schema):
+                tbl = pa.Table.from_pylist(rows[offset:],
+                                           schema=pa_schema)
+            elif rows[offset:]:
+                tbl = pa.Table.from_pylist(rows[offset:])
+                for i, f in enumerate(tbl.schema):
+                    if pa.types.is_null(f.type):
+                        tbl = tbl.set_column(
+                            i, f.name, tbl.column(i).cast(pa.string())
+                        )
+            else:
+                tbl = pa.table({
+                    v: pa.array([], type=pa.string())
+                    for v in out_vars
+                })
             return rd.from_arrow(tbl)
         return head
     elif offset:

@@ -1004,21 +1004,27 @@ def sparql_query(source, text: str):
                 "GROUP BY combines only with pattern/OPTIONAL/FILTER "
                 "groups in the subset"
             )
-        if plan["distinct"] or plan["order_by"] or \
-                plan["limit"] is not None:
-            raise SparqlSyntaxError(
-                "solution modifiers over GROUP BY are not in the subset"
-            )
         extra = [v for v in plan["select"]
                  if v not in plan["aggs"] and v not in plan["group_by"]]
         if extra:
             raise SparqlSyntaxError(
                 f"non-grouped, non-aggregate selects: {extra}"
             )
-        return bgp_aggregate(
+        res = bgp_aggregate(
             source, patterns, plan["group_by"], plan["aggs"],
             optional=optional, filters=group["filters"],
         )
+        if plan["distinct"] or plan["order_by"] or \
+                plan["limit"] is not None:
+            from twine_ray.stages.query import _apply_modifiers
+
+            out_vars = list(res.schema().names)
+            res = _apply_modifiers(
+                res, out_vars, distinct=plan["distinct"],
+                order_by=plan["order_by"], limit=plan["limit"],
+                offset=plan["offset"],
+            )
+        return res
     if group["minus"] is not None:
         if group["values"] is not None or plan["distinct"] or \
                 plan["order_by"] or plan["limit"] is not None:
