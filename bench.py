@@ -206,6 +206,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "dedup_jaccard": dedup.q_dedup_jaccard,
         "hopping_windows": relational.q_hopping_windows,
         "ann_topk": similarity.q_ann_topk,
+        "ann_ivf": similarity.q_ann_ivf,
         "asof_join": relational.q_asof_join,
         "median_by_group": relational.q_median_by_group,
         "top_tokens": text.q_top_tokens,

@@ -432,3 +432,16 @@ def test_cli_sparql_explain(small_store, ray_session, capsys):
     plan = _json.loads(capsys.readouterr().out)
     assert plan["form"] == "select"
     assert plan["group"]["path_quants"][0][:3] == ["x", "http://e", "y"]
+
+
+def test_cli_stats(small_store, ray_session, capsys):
+    import json as _json
+
+    from twine_ray.cli import main
+
+    rc = main(["stats", small_store])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["manifest"]["num_buckets"] == 4
+    assert out["rows"] > 0 and out["buckets"] > 0
+    assert main(["stats", "/tmp/definitely-not-a-store"]) == 2

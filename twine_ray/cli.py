@@ -261,6 +261,32 @@ def cmd_ask(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_stats(args) -> int:
+    """Store inspection (ops surface): manifest, per-bucket lineage
+    (rows / files / bytes / content signatures), totals.  Pure metadata
+    — no data scan, no Ray session needed."""
+    from twine_ray.stages.materialize import read_lineage
+    from twine_ray.state import checkpoint as ckpt
+
+    manifest = ckpt.read_manifest(args.store)
+    if manifest is None:
+        print(f"no store manifest in {args.store}", file=sys.stderr)
+        return 2
+    lineage = read_lineage(args.store)
+    out = {
+        "store": args.store,
+        "manifest": manifest,
+        "buckets": len(lineage),
+        "rows": sum(r.get("rows", 0) for r in lineage),
+        "files": sum(r.get("files", 0) for r in lineage),
+        "bytes": sum(r.get("bytes", 0) for r in lineage),
+    }
+    if args.buckets:
+        out["lineage"] = lineage
+    print(json.dumps(out, indent=1, sort_keys=True))
+    return 0
+
+
 def cmd_watch(args) -> int:
     """Continuous-ingest loop (the twine-writerd daemon analog,
     pipelines/watch.py): poll a pages directory, feed each wave of new
@@ -475,6 +501,14 @@ def main(argv=None) -> int:
     pa_.add_argument("--pattern", action="append", required=True,
                      help="'graph subj pred obj' (or 3 terms)")
     pa_.set_defaults(fn=cmd_ask)
+
+    pst = sub.add_parser(
+        "stats", help="store metadata: manifest, lineage totals"
+    )
+    pst.add_argument("store")
+    pst.add_argument("--buckets", action="store_true",
+                     help="include the per-bucket lineage records")
+    pst.set_defaults(fn=cmd_stats)
 
     pwch = sub.add_parser(
         "watch",
