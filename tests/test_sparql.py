@@ -445,3 +445,39 @@ def test_cli_stats(small_store, ray_session, capsys):
     assert out["manifest"]["num_buckets"] == 4
     assert out["rows"] > 0 and out["buckets"] > 0
     assert main(["stats", "/tmp/definitely-not-a-store"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# Parser totality: any input either parses or raises SparqlSyntaxError
+# ---------------------------------------------------------------------------
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_FUZZ_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " ?<>{}()\".;,+*^/|!=&@#:_-\\\n\t'"
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.text(alphabet=_FUZZ_ALPHABET, max_size=80))
+def test_parser_total(s):
+    """The parser never raises anything but SparqlSyntaxError — no
+    bare ValueError/IndexError escapes on malformed input."""
+    try:
+        parse_sparql(s)
+    except SparqlSyntaxError:
+        pass
+
+
+@pytest.mark.parametrize("bad", [
+    "SELECT ?x WHERE { ?x <p> ?y } LIMIT 1.5",
+    "SELECT ?x WHERE { ?x <p> ?y } OFFSET 2e1",
+    "SELECT ?x WHERE { ?x <p>{1.5,2} ?y }",
+    r'SELECT ?x WHERE { ?x <p> "a\u12" }',  # short \u escape
+])
+def test_parser_numeric_and_escape_rejects(bad):
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(bad)

@@ -104,15 +104,27 @@ def _unescape(body: str) -> str:
         if nxt in _STR_ESCAPES:
             out.append(_STR_ESCAPES[nxt])
             i += 2
-        elif nxt == "u":
-            out.append(chr(int(body[i + 2:i + 6], 16)))
-            i += 6
-        elif nxt == "U":
-            out.append(chr(int(body[i + 2:i + 10], 16)))
-            i += 10
+        elif nxt in ("u", "U"):
+            width = 4 if nxt == "u" else 8
+            hexs = body[i + 2:i + 2 + width]
+            if len(hexs) != width or any(
+                c not in "0123456789abcdefABCDEF" for c in hexs
+            ):
+                raise SparqlSyntaxError(
+                    f"\\{nxt} escape needs {width} hex digits"
+                )
+            out.append(chr(int(hexs, 16)))
+            i += 2 + width
         else:
             raise SparqlSyntaxError(f"unknown escape \\{nxt}")
     return "".join(out)
+
+
+def _int(val: str, what: str) -> int:
+    try:
+        return int(val)
+    except ValueError:
+        raise SparqlSyntaxError(f"{what} needs an integer, got {val!r}")
 
 
 def tokenize(text: str) -> list[tuple[str, str]]:
@@ -305,7 +317,7 @@ class _Parser:
                 kind, val = self.next()
                 if kind != "NUMBER":
                     raise SparqlSyntaxError("path {m,n} needs integers")
-                m = int(val)
+                m = _int(val, "path {m,n}")
                 n = m
                 if self.eat_op(","):
                     kind, val = self.next()
@@ -313,7 +325,7 @@ class _Parser:
                         raise SparqlSyntaxError(
                             "path {m,n} needs integers"
                         )
-                    n = int(val)
+                    n = _int(val, "path {m,n}")
                 self.expect_op("}")
                 if m < 1 or n < m:
                     raise SparqlSyntaxError(
@@ -654,13 +666,13 @@ class _Parser:
                 kind, val = self.next()
                 if kind != "NUMBER":
                     raise SparqlSyntaxError("LIMIT needs an integer")
-                out["limit"] = int(val)
+                out["limit"] = _int(val, "LIMIT")
             elif self.at_kw("offset"):
                 self.next()
                 kind, val = self.next()
                 if kind != "NUMBER":
                     raise SparqlSyntaxError("OFFSET needs an integer")
-                out["offset"] = int(val)
+                out["offset"] = _int(val, "OFFSET")
             else:
                 self._reject_unsupported()
                 if self.peek()[0] != "EOF":
