@@ -447,6 +447,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
             PREFIX dc: <{_DC}>
             ASK {{ GRAPH ?g {{ ?s dc:language "en" }} }}""")
 
+    def kg_sparql_union(sf_dir: str):
+        """Text UNION — same semantics as kg_bgp_union, so the same
+        oracle (aliased in oracle_sql)."""
+        from twine_ray.stages.sparql import sparql_query
+
+        return sparql_query(_kg_triples(sf_dir), f"""
+            PREFIX dc: <{_DC}>
+            SELECT ?g ?v WHERE {{
+              {{ GRAPH ?g {{ ?s dc:title ?v }} }}
+              UNION
+              {{ GRAPH ?g {{ ?s dc:language ?v }} }}
+            }}""")
+
+    def kg_sparql_minus(sf_dir: str):
+        """Text MINUS — kg_bgp_minus's oracle, via the parser."""
+        from twine_ray.stages.sparql import sparql_query
+
+        return sparql_query(_kg_triples(sf_dir), f"""
+            PREFIX dc: <{_DC}>
+            SELECT ?g ?title WHERE {{
+              GRAPH ?g {{ ?s dc:title ?title }}
+              MINUS {{ GRAPH ?g {{ ?s2 dc:language "en" }} }}
+            }}""")
+
+    def kg_sparql_modifiers(sf_dir: str):
+        """Text DISTINCT / ORDER BY / LIMIT / OFFSET —
+        kg_bgp_modifiers's oracle, via the parser."""
+        from twine_ray.stages.sparql import sparql_query
+
+        return sparql_query(_kg_triples(sf_dir), f"""
+            PREFIX dc: <{_DC}>
+            SELECT DISTINCT ?title WHERE {{
+              GRAPH ?g {{ ?s dc:language "en" . ?s dc:title ?title }}
+            }} ORDER BY DESC(?title) LIMIT 10 OFFSET 5""")
+
+    def kg_sparql_construct(sf_dir: str):
+        """Text CONSTRUCT (quad template) — kg_construct's oracle, via
+        the parser; projected to the (graph, subj, pred, obj) slice."""
+        from twine_ray.stages.sparql import sparql_query
+
+        out = sparql_query(_kg_triples(sf_dir), f"""
+            PREFIX dc: <{_DC}>
+            CONSTRUCT {{
+              GRAPH ?g {{ ?s dc:language ?lang . ?s dc:title ?title }}
+            }} WHERE {{
+              GRAPH ?g {{ ?s dc:language ?lang }}
+              OPTIONAL {{ GRAPH ?g {{ ?s dc:title ?title }} }}
+            }}""")
+        return out.map_batches(
+            lambda t: t.select(["graph", "subj", "pred", "obj"]),
+            batch_format="pyarrow",
+        )
+
     def kg_path(sf_dir: str):
         """Property-path ``p{1,2}`` analog with a free start
         (stages/bfs.path_pairs): all (start, node) pairs within 2 hops
@@ -549,6 +602,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize_stats": multimodal.q_media_resize_stats,
         "media_audio_stats": multimodal.q_media_audio_stats,
         # ================= driver window boundary (50) =================
+        # --- SPARQL text twins of already-window-checked algebra
+        # queries (oracled — aliased to the kg_bgp_* SQL; below the
+        # window this round, rotate in next)
+        "kg_sparql_union": kg_sparql_union,
+        "kg_sparql_minus": kg_sparql_minus,
+        "kg_sparql_modifiers": kg_sparql_modifiers,
+        "kg_sparql_construct": kg_sparql_construct,
         # --- rows-only queries (no SQL oracle possible; each has a
         # named pytest gate — see the module docstring)
         "kg_flagship": kg_flagship,
@@ -672,6 +732,18 @@ def _langid_counts_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_literals()
+    # SPARQL text twins execute the SAME semantics through the parser,
+    # so they share the programmatic queries' oracles — aliased (not
+    # copied) so the two can never drift apart
+    d["kg_sparql_union"] = d["kg_bgp_union"]
+    d["kg_sparql_minus"] = d["kg_bgp_minus"]
+    d["kg_sparql_modifiers"] = d["kg_bgp_modifiers"]
+    d["kg_sparql_construct"] = d["kg_construct"]
+    return d
+
+
+def _oracle_sql_literals() -> dict[str, str]:
     return {
         "doc_langid_counts": _langid_counts_sql(),
         "kg_sparql_agg": """
