@@ -148,6 +148,45 @@ def test_langid_counts_match_scalar_spec(ray_session):
             assert int(row["tri_hits"]) == tri, (doc_id, lang)
 
 
+def test_langid_counts_non_ascii_stopwords(ray_session, tmp_path):
+    """Non-ASCII stopwords ('für', 'não') are NOT in the vectorized
+    alternation: the frozen spec tokenizes with ASCII [a-z]+ (which
+    splits 'für' into 'f'/'r'), so counting them would diverge from the
+    spec and its generated DuckDB oracle on real German/Portuguese text
+    (ADVICE r4 medium). Also pins the boundary case where a non-ASCII
+    letter delimits an ASCII stopword ('füder' → tokens 'f','der')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from twine_ray.functions.langid import langid_feature_counts
+    from twine_ray.pipelines.text import q_doc_langid_counts
+
+    texts = [
+        "für die Leser ist das nicht genug für heute",
+        "não por mais que o tempo passe não esqueço",
+        "das füder der und füder",
+        "",
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        q_doc_langid_counts(str(tmp_path))
+        .to_pandas()
+        .set_index(["doc_id", "lang"])
+        .sort_index()
+    )
+    for doc_id, text in enumerate(texts):
+        for lang, (sw, tri) in langid_feature_counts(text).items():
+            row = got.loc[(doc_id, lang)]
+            assert int(row["sw_hits"]) == sw, (doc_id, lang, text)
+            assert int(row["tri_hits"]) == tri, (doc_id, lang, text)
+
+
 def test_langid_feature_counts_edges():
     from twine_ray.functions.langid import langid_feature_counts
 

@@ -111,6 +111,22 @@ def test_watch_reprocess_is_idempotent(watch_env, ray_session):
     assert r["metrics"]["reput_triples"] == 0
 
 
+def test_watch_manifest_overrides_bucket_count(watch_env, ray_session):
+    """A store bootstrapped with num_buckets=8 must keep working when a
+    later poll passes a DIFFERENT (or default) bucket count: the store
+    manifest is authoritative after bootstrap (ADVICE r4 — previously
+    every later poll failed on the manifest mismatch with no way to
+    correct it from the watch CLI)."""
+    from twine_ray.pipelines.watch import _ack_path, watch_once
+
+    env = watch_env
+    os.remove(_ack_path(env["out"]))
+    r = watch_once(env["watch_dir"], env["out"], env["aliases"],
+                   num_buckets=32, concurrency=2)
+    assert r["mode"] == "incremental"
+    assert r["metrics"]["changed_store_buckets"] == 0
+
+
 def test_watch_loop_idle_exit(tmp_path, ray_session):
     from twine_ray.pipelines.kg import default_alias_rows
     from twine_ray.pipelines.watch import watch_loop

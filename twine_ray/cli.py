@@ -301,6 +301,8 @@ def cmd_watch(args) -> int:
         poll_sec=args.poll,
         max_waves=args.max_waves,
         idle_exit=args.idle_exit,
+        num_buckets=args.num_buckets,
+        concurrency=args.concurrency,
         on_wave=lambda w: print(json.dumps(w), flush=True),
     )
     return 0 if waves or args.idle_exit else 1
@@ -524,6 +526,12 @@ def main(argv=None) -> int:
     pwch.add_argument("--idle-exit", type=int, dest="idle_exit",
                       help="exit after N consecutive idle polls "
                            "(default: run forever)")
+    pwch.add_argument("--num-buckets", type=int, dest="num_buckets",
+                      help="store bucket count for the BOOTSTRAP wave "
+                           "(default 32); an existing store's manifest "
+                           "overrides this on every later poll")
+    pwch.add_argument("--concurrency", type=int, default=4,
+                      help="per-stage actor-pool size (default 4)")
     pwch.set_defaults(fn=cmd_watch)
 
     psq = sub.add_parser(

@@ -130,7 +130,13 @@ def q_doc_langid_counts(sf_dir: str):
     Vectorization: one alternation regex per language for the stopword
     hits (lookarounds pin full-token matches, so the count equals
     token-set membership) and one compiled substring count per trigram
-    — all pandas C kernels, no per-row Python."""
+    — all pandas C kernels, no per-row Python.
+
+    The alternation is built ONLY from stopwords fully matched by
+    ``[a-z]+``: the frozen spec tokenizes with that ASCII class, so a
+    non-ASCII stopword ('für', 'não') can never be a spec hit — leaving
+    it in the alternation would over-count vs the spec and the
+    generated DuckDB oracle on real German/Portuguese text."""
     import re as _re
 
     from twine_ray.functions.langid import _STOPWORDS, _TRIGRAMS
@@ -139,7 +145,8 @@ def q_doc_langid_counts(sf_dir: str):
     langs = sorted(_STOPWORDS)
     sw_pats = {
         lang: r"(?<![a-z])(?:" + "|".join(
-            sorted(_STOPWORDS[lang])
+            sorted(w for w in _STOPWORDS[lang]
+                   if _re.fullmatch(r"[a-z]+", w))
         ) + r")(?![a-z])"
         for lang in langs
     }

@@ -82,9 +82,18 @@ def _shard_urls(paths: list[str]) -> list[str]:
 
 
 def watch_once(watch_dir: str, out_dir: str, alias_rows, *,
-               num_buckets: int = 32, concurrency=4) -> dict | None:
+               num_buckets: int | None = None,
+               concurrency=4) -> dict | None:
     """One poll of the ingest loop.  Returns the wave's metrics dict,
-    or None when no unacked shard exists (idle poll)."""
+    or None when no unacked shard exists (idle poll).
+
+    ``num_buckets``: used for the bootstrap wave only (default 32).
+    Once a store manifest exists, ITS bucket count is authoritative —
+    every later poll re-reads it, so a store bootstrapped with a
+    non-default count keeps working regardless of what the caller or
+    CLI passes (ADVICE r4: a mismatch here made every later poll fail
+    on run_kg_incremental's manifest check with no way to correct it).
+    """
     import ray.data as rd
 
     from twine_ray.pipelines.kg import (
@@ -103,7 +112,12 @@ def watch_once(watch_dir: str, out_dir: str, alias_rows, *,
     pages = rd.read_parquet(all_paths)
 
     store_dir = os.path.join(out_dir, "store")
-    bootstrapped = ckpt.read_manifest(store_dir) is not None
+    manifest = ckpt.read_manifest(store_dir)
+    bootstrapped = manifest is not None
+    if bootstrapped:
+        num_buckets = manifest["num_buckets"]
+    elif num_buckets is None:
+        num_buckets = 32
     if not bootstrapped:
         res = run_kg_pipeline(
             pages, out_dir, alias_rows, num_buckets=num_buckets,
@@ -133,13 +147,19 @@ def watch_once(watch_dir: str, out_dir: str, alias_rows, *,
 def watch_loop(watch_dir: str, out_dir: str, alias_rows, *,
                poll_sec: float = 5.0, max_waves: int | None = None,
                idle_exit: int | None = None,
+               num_buckets: int | None = None, concurrency=4,
                on_wave=None) -> list[dict]:
     """Poll until ``max_waves`` waves processed or ``idle_exit``
-    consecutive idle polls (None = run forever — the daemon shape)."""
+    consecutive idle polls (None = run forever — the daemon shape).
+    ``num_buckets``/``concurrency`` forward to :func:`watch_once`
+    (bucket count applies to the bootstrap wave; an existing store's
+    manifest overrides it on every later poll)."""
     waves: list[dict] = []
     idle = 0
     while True:
-        res = watch_once(watch_dir, out_dir, alias_rows)
+        res = watch_once(watch_dir, out_dir, alias_rows,
+                         num_buckets=num_buckets,
+                         concurrency=concurrency)
         if res is None:
             idle += 1
             if idle_exit is not None and idle >= idle_exit:

@@ -203,19 +203,58 @@ def _with_null_vars(t, names):
 
 _FILTER_OPS = ("==", "!=", "<", "<=", ">", ">=", "regex", "contains",
                "bound", "!bound")
+# scan-level term-metadata accessors (SPARQL lang()/datatype() subset):
+# applied to the obj_lang / obj_dt columns of the pattern SCANS that
+# bind the variable in object position, never to the bindings table
+# (bindings carry term strings only — the engine's documented term
+# model; see bgp_match docstring)
+_SCAN_FILTER_OPS = ("lang==", "lang!=", "dt==", "dt!=")
+
+
+def _filter_spec_vars(spec):
+    """Every variable a filter spec reads (recurses into 'or')."""
+    if spec[0] == "or":
+        out = []
+        for conj in spec[1]:
+            for atom in conj:
+                out.extend(_filter_spec_vars(atom))
+        return out
+    var, _op, *rest = spec
+    out = [var.lstrip("?")]
+    if rest and isinstance(rest[0], str) and rest[0].startswith("?"):
+        out.append(rest[0][1:])
+    return out
+
+
+def _filter_spec_ops(spec):
+    """Every op a filter spec uses (recurses into 'or')."""
+    if spec[0] == "or":
+        out = []
+        for conj in spec[1]:
+            for atom in conj:
+                out.extend(_filter_spec_ops(atom))
+        return out
+    return [spec[1]]
 
 
 def _compile_filters(filters, known_vars):
-    """Compile ``(var, op, value)`` filter specs into one vectorized
-    pyarrow predicate over a bindings table.  ``value`` may be a
-    literal string or another '?var'.  Comparisons are lexicographic
-    over the term strings (the SPARQL-subset this engine documents);
-    null bindings fail every test except '!bound' — SQL WHERE / SPARQL
-    FILTER-error semantics agree here."""
+    """Compile filter specs into one vectorized pyarrow predicate over
+    a bindings table.  A spec is ``(var, op, value)`` — ``value`` may
+    be a literal string or another '?var' — or the disjunction form
+    ``("or", [conj, conj, ...])`` where each ``conj`` is a list of
+    atom specs ANDed together (SPARQL ``a && b || c && d``; atoms may
+    themselves be nested "or" specs from parenthesized groups).
+    Comparisons are lexicographic over the term strings (the
+    SPARQL-subset this engine documents); null bindings fail every
+    test except '!bound' — SQL WHERE / SPARQL FILTER-error semantics
+    agree here."""
     import pyarrow.compute as pc
 
-    checked = []
-    for var, op, *rest in filters:
+    def _check(spec):
+        if spec[0] == "or":
+            return ("or", [[_check(a) for a in conj]
+                           for conj in spec[1]])
+        var, op, *rest = spec
         var = var.lstrip("?")
         if var not in known_vars:
             raise ValueError(f"filter on unbound variable: ?{var}")
@@ -234,35 +273,49 @@ def _compile_filters(filters, known_vars):
                 raise ValueError(f"filter references unbound "
                                  f"variable: ?{other}")
             val = ("var", other)
-        checked.append((var, op, val))
+        return (var, op, val)
+
+    checked = [_check(s) for s in filters]
+
+    def _atom_mask(t, spec):
+        if spec[0] == "or":
+            total = None
+            for conj in spec[1]:
+                m = None
+                for atom in conj:
+                    am = _atom_mask(t, atom)
+                    m = am if m is None else pc.and_(m, am)
+                total = m if total is None else pc.or_(total, m)
+            return total
+        var, op, val = spec
+        col = t[var]
+        if op == "bound":
+            return pc.is_valid(col)
+        if op == "!bound":
+            return pc.is_null(col)
+        rhs = t[val[1]] if isinstance(val, tuple) else val
+        if op == "==":
+            m = pc.equal(col, rhs)
+        elif op == "!=":
+            m = pc.not_equal(col, rhs)
+        elif op == "<":
+            m = pc.less(col, rhs)
+        elif op == "<=":
+            m = pc.less_equal(col, rhs)
+        elif op == ">":
+            m = pc.greater(col, rhs)
+        elif op == ">=":
+            m = pc.greater_equal(col, rhs)
+        elif op == "regex":
+            m = pc.match_substring_regex(col, val)
+        else:  # contains
+            m = pc.match_substring(col, val)
+        return pc.fill_null(m, False)
 
     def _mask(t):
         mask = None
-        for var, op, val in checked:
-            col = t[var]
-            if op == "bound":
-                m = pc.is_valid(col)
-            elif op == "!bound":
-                m = pc.is_null(col)
-            else:
-                rhs = t[val[1]] if isinstance(val, tuple) else val
-                if op == "==":
-                    m = pc.equal(col, rhs)
-                elif op == "!=":
-                    m = pc.not_equal(col, rhs)
-                elif op == "<":
-                    m = pc.less(col, rhs)
-                elif op == "<=":
-                    m = pc.less_equal(col, rhs)
-                elif op == ">":
-                    m = pc.greater(col, rhs)
-                elif op == ">=":
-                    m = pc.greater_equal(col, rhs)
-                elif op == "regex":
-                    m = pc.match_substring_regex(col, val)
-                else:  # contains
-                    m = pc.match_substring(col, val)
-                m = pc.fill_null(m, False)
+        for spec in checked:
+            m = _atom_mask(t, spec)
             mask = m if mask is None else pc.and_(mask, m)
         return mask
 

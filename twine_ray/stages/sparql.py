@@ -78,7 +78,8 @@ _TOKEN_RE = re.compile(
   | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9.%-]*|:[A-Za-z_0-9.%-]*)
   | (?P<NAME>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<OP><=|>=|!=|&&|\^\^|[{}().;,*=<>!|/^+])
+  | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<OP><=|>=|!=|&&|\|\||\^\^|[{}().;,*=<>!|/^+])
     """,
     re.VERBOSE,
 )
@@ -267,12 +268,12 @@ class _Parser:
             self.next()
             lit = _unescape(val[1:-1])
             nk, nv = self.peek()
-            if (nk == "NAME" and nv.startswith("@")) or \
-                    (nk == "OP" and nv == "^^"):
+            if nk == "LANGTAG" or (nk == "OP" and nv == "^^"):
                 raise SparqlSyntaxError(
                     "language-tagged / datatyped literal terms are not "
                     "in the subset (the store matches lexical forms; "
-                    "obj_lang/obj_dt are separate columns)"
+                    "constrain obj_lang/obj_dt with FILTER(lang(?v) = "
+                    "\"en\") / FILTER(datatype(?v) = <iri>) instead)"
                 )
             return _Lit(lit)
         if kind == "NUMBER":
