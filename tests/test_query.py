@@ -810,3 +810,81 @@ def test_filter_pushdown_equals_post_filter(ray_session):
     # every joined row passes the cross-pattern comparison
     assert {tuple(r) for r in got2[["s", "lang", "title"]].to_numpy()} \
         == {("s1", "en", "T1"), ("s2", "fr", "T2"), ("s3", "de", "T3")}
+
+
+def test_match_triples_in_set_and_metadata(store, ray_session):
+    """IN-SET terms scan once and equal the union of equality scans;
+    obj_lang/obj_dt kwargs push into the parquet filter."""
+    import pandas as pd
+
+    from twine_ray.stages.query import match_triples
+
+    full = _full(store)
+    preds = sorted(set(full["pred"]))[:2]
+    got = _canon(
+        match_triples(store, pred=tuple(preds)).to_pandas()
+    )
+    want = _canon(
+        pd.concat([
+            match_triples(store, pred=p).to_pandas() for p in preds
+        ])
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)]
+    )
+    assert len(got) > 0
+    # metadata kwargs: "" matches the store's untyped rows exactly
+    lang0 = match_triples(store, obj_lang="").to_pandas()
+    assert len(lang0) == int((full["obj_lang"] == "").sum())
+
+
+def test_bgp_filter_or_pushdown_equivalence(ray_session):
+    """An ("or", ...) disjunction whose atoms all touch one pattern's
+    variables is pushed to that pattern's scan; result equals the
+    unpushed evaluation (idempotent final filter)."""
+    ds = _triples_ds({
+        "graph": ["g"] * 6,
+        "subj":  ["s1", "s2", "s3", "s1", "s2", "s3"],
+        "pred":  ["v", "v", "v", "w", "w", "w"],
+        "obj":   ["a", "b", "c", "x", "y", "z"],
+    })
+    from twine_ray.stages.query import bgp_match
+
+    spec = ("or", [[("val", "==", "a")], [("val", "==", "c")]])
+    got = bgp_match(
+        ds, [(None, "?s", "v", "?val"), (None, "?s", "w", "?o")],
+        filters=[spec],
+    ).to_pandas().sort_values("s").reset_index(drop=True)
+    assert list(got["s"]) == ["s1", "s3"]
+    assert list(got["val"]) == ["a", "c"]
+
+
+def test_bgp_bind_errors(ray_session):
+    ds = _triples_ds({
+        "graph": ["g"], "subj": ["s"], "pred": ["p"], "obj": ["o"],
+    })
+    from twine_ray.stages.query import bgp_match
+
+    with pytest.raises(ValueError, match="already bound"):
+        bgp_match(ds, [(None, "?s", "p", "?o")],
+                  binds=[("s", "x")])
+    with pytest.raises(ValueError, match="unbound"):
+        bgp_match(ds, [(None, "?s", "p", "?o")],
+                  binds=[("n", "?zz")])
+
+
+def test_scan_filter_validation(ray_session):
+    ds = _triples_ds({
+        "graph": ["g"], "subj": ["s"], "pred": ["p"], "obj": ["o"],
+    })
+    from twine_ray.stages.query import bgp_match
+
+    # scan op inside a disjunction is rejected
+    with pytest.raises(ValueError, match="disjunction"):
+        bgp_match(ds, [(None, "?s", "p", "?o")],
+                  filters=[("or", [[("o", "lang==", "en")],
+                                   [("o", "==", "x")]])])
+    # non-constant value rejected
+    with pytest.raises(ValueError, match="constant"):
+        bgp_match(ds, [(None, "?s", "p", "?o")],
+                  filters=[("o", "lang==", "?s")])

@@ -123,22 +123,114 @@ def test_parse_modifiers_and_aggregates():
 
 
 @pytest.mark.parametrize("bad", [
-    "SELECT ?x WHERE { ?x ?p ?o . BIND(1 AS ?y) }",
-    "SELECT ?x WHERE { ?x ?p ?o . FILTER EXISTS { ?x ?p ?o } }",
-    'SELECT ?x WHERE { ?x ?p ?o . FILTER(?x = "a" || ?x = "b") }',
+    "SELECT ?x WHERE { ?x ?p ?o . BIND(concat(?x) AS ?y) }",  # expr
+    "SELECT ?x WHERE { OPTIONAL { ?x ?p ?o BIND(1 AS ?y) } }",
+    "SELECT ?x WHERE { OPTIONAL { ?x ?p ?o "
+    "FILTER EXISTS { ?x ?p ?o } } }",
+    "SELECT ?x WHERE { ?x ?p ?o FILTER EXISTS { ?x ?p ?o "
+    'FILTER(?x = "a") } }',
+    'SELECT ?x WHERE { ?x ?p ?o . '
+    'FILTER(lang(?o) = "en" || ?x = "b") }',
+    'SELECT ?x WHERE { ?x ?p ?o . FILTER(lang(?o) < "en") }',
     "SELECT ?x WHERE { OPTIONAL { OPTIONAL { ?x ?p ?o } } }",
     'SELECT ?x WHERE { ?x <http://p> "lit"^^<http://dt> }',
-    "SELECT ?x WHERE { ?x <http://p>|<http://q> ?y }",
+    'SELECT ?x WHERE { ?x <http://p> "lit"@en }',
+    "SELECT ?x WHERE { ?x <http://p>|?q ?y }",  # var alternative
+    "SELECT ?x WHERE { ?x (<http://p>|^<http://q>) ?y }",  # mixed ^
+    "SELECT ?x WHERE { ?x ^(<http://p>|<http://q>) ?y }",
+    "SELECT ?x WHERE { ?x (<http://p>|<http://q>)+ ?y }",
+    "SELECT ?x WHERE { ?x <http://p>|<http://q>/<http://r> ?y }",
     "SELECT ?x WHERE { ?x <http://p>* ?y }",
     "SELECT (COUNT(*) AS ?n) WHERE { ?x ?p ?o }",  # agg, no GROUP BY
     "SELECT ?x WHERE { ?x ?p ?o } HAVING (?x > 1)",
     'CONSTRUCT { ?s <http://p> ?o } WHERE { ?s <http://p> ?o }',  # no GRAPH
+    'CONSTRUCT { GRAPH <g> { ?s <http://p>|<http://q> ?o } } '
+    'WHERE { ?s <http://p> ?o }',
     "ASK { { ?a ?p ?o } UNION { ?b ?p ?o } }",
     "DESCRIBE ?x",
 ])
 def test_parse_rejects_outside_subset(bad):
     with pytest.raises(SparqlSyntaxError):
         parse_sparql(bad)
+
+
+def test_parse_filter_disjunction_and_groups():
+    plan = parse_sparql(
+        'SELECT ?x WHERE { ?x <http://p> ?o '
+        'FILTER(?o = "a" && ?o != "b" || ?x > "c") }'
+    )
+    assert plan["group"]["filters"] == [
+        ("or", [[("o", "==", "a"), ("o", "!=", "b")],
+                [("x", ">", "c")]]),
+    ]
+    # parenthesized conjunction as one atom inside a disjunction
+    plan = parse_sparql(
+        'SELECT ?x WHERE { ?x <http://p> ?o '
+        'FILTER((?o = "a" && ?o != "b") || bound(?x)) }'
+    )
+    assert plan["group"]["filters"] == [
+        ("or", [[("or", [[("o", "==", "a"), ("o", "!=", "b")]])],
+                [("x", "bound")]]),
+    ]
+    # pure conjunction stays a flat spec list
+    plan = parse_sparql(
+        'SELECT ?x WHERE { ?x <http://p> ?o '
+        'FILTER(?o = "a" && (?o != "b")) }'
+    )
+    assert plan["group"]["filters"] == [
+        ("o", "==", "a"), ("o", "!=", "b"),
+    ]
+
+
+def test_parse_lang_datatype_accessors():
+    plan = parse_sparql(
+        'PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> '
+        'SELECT ?o WHERE { ?s <http://p> ?o '
+        'FILTER(lang(?o) = "en" && datatype(?o) != xsd:integer) }'
+    )
+    assert plan["group"]["filters"] == [
+        ("o", "lang==", "en"),
+        ("o", "dt!=", "http://www.w3.org/2001/XMLSchema#integer"),
+    ]
+
+
+def test_parse_bind_and_exists():
+    plan = parse_sparql(
+        'SELECT ?x ?y WHERE { ?x <http://p> ?o '
+        'BIND("c" AS ?y) BIND(?x AS ?z) '
+        'FILTER EXISTS { ?x <http://q> ?w } '
+        'FILTER NOT EXISTS { ?x <http://r> ?w2 } }'
+    )
+    g = plan["group"]
+    assert g["binds"] == [("y", "c"), ("z", "?x")]
+    # inner-group patterns hold raw parser terms (variables compare
+    # equal to their bare names)
+    assert g["exists"] == [[("x", "http://q", "w")]]
+    assert g["not_exists"] == [[("x", "http://r", "w2")]]
+
+
+def test_parse_path_alternation():
+    plan = parse_sparql(
+        "SELECT ?s ?o WHERE { ?s <http://p>|<http://q> ?o }"
+    )
+    assert plan["group"]["patterns"] == [
+        ("s", ("http://p", "http://q"), "o"),
+    ]
+    # parenthesized, inside a sequence, and inverted members
+    plan = parse_sparql(
+        "SELECT ?s ?o WHERE { ?s (<http://p>|<http://q>)/<http://r> ?o }"
+    )
+    pats = plan["group"]["patterns"]
+    assert pats[0][1] == ("http://p", "http://q")
+    assert pats[1][1] == "http://r"
+    assert str(pats[0][2]) == str(pats[1][0])  # threaded fresh var
+    plan = parse_sparql(
+        "SELECT ?s ?o WHERE { ?s (^<http://p>|^<http://q>) ?o }"
+    )
+    # uniform inversion swaps the endpoints
+    assert plan["group"]["patterns"] == [
+        ("o", ("http://p", "http://q"), "s"),
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -481,3 +573,141 @@ def test_parser_total(s):
 def test_parser_numeric_and_escape_rejects(bad):
     with pytest.raises(SparqlSyntaxError):
         parse_sparql(bad)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 constructs: || / lang()/datatype() / BIND / EXISTS / alternation
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def meta_ds(ray_session):
+    """Triples with term metadata: names carry language tags, ages a
+    datatype; p1/p2/p3 link IRIs."""
+    return _triples_ds({
+        "graph": ["g"] * 8,
+        "subj":  ["s1", "s2", "s3", "s1", "s2", "s1", "s2", "s3"],
+        "pred":  ["name", "name", "name", "age", "age",
+                  "p1", "p2", "p3"],
+        "obj":   ["Anna", "Berta", "Cora", "30", "40",
+                  "o1", "o2", "o1"],
+        "obj_is_lit": [True] * 5 + [False] * 3,
+        "obj_lang": ["en", "de", "", "", "", "", "", ""],
+        "obj_dt": ["", "", "",
+                   "http://www.w3.org/2001/XMLSchema#integer",
+                   "http://www.w3.org/2001/XMLSchema#integer",
+                   "", "", ""],
+    })
+
+
+def test_filter_disjunction_execution(meta_ds):
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s ?n WHERE {
+        ?s <name> ?n FILTER(?n = "Anna" || ?n >= "C") }'''))
+    assert list(got["n"]) == ["Anna", "Cora"]
+    # || with && conjuncts on both sides
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s ?n WHERE {
+        ?s <name> ?n
+        FILTER(?n = "Anna" && ?s = "s1" || ?n = "Berta" && ?s = "s2")
+        }'''))
+    assert list(got["n"]) == ["Anna", "Berta"]
+    # disjunction over two different variables (not pushable to one
+    # pattern) still filters the joined solutions
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s ?n ?a WHERE {
+        ?s <name> ?n . ?s <age> ?a
+        FILTER(?n = "Berta" || ?a = "30") }'''))
+    assert sorted(zip(got["n"], got["a"])) == [
+        ("Anna", "30"), ("Berta", "40"),
+    ]
+
+
+def test_lang_datatype_accessor_execution(meta_ds):
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s ?n WHERE {
+        ?s <name> ?n FILTER(lang(?n) = "en") }'''))
+    assert list(got["n"]) == ["Anna"]
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s ?n WHERE {
+        ?s <name> ?n FILTER(lang(?n) != "") }'''))
+    assert list(got["n"]) == ["Anna", "Berta"]
+    got = _canon(sparql_query(meta_ds, '''
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?s ?a WHERE {
+            ?s <age> ?a FILTER(datatype(?a) = xsd:integer) }'''))
+    assert list(got["a"]) == ["30", "40"]
+    # metadata constrains only the pattern binding the var in object
+    # position; joins keep working
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s ?n ?a WHERE {
+        ?s <name> ?n . ?s <age> ?a
+        FILTER(lang(?n) = "de") }'''))
+    assert list(got["n"]) == ["Berta"]
+
+
+def test_lang_accessor_needs_object_position(meta_ds):
+    with pytest.raises(ValueError, match="object position"):
+        sparql_query(meta_ds, '''SELECT ?s WHERE {
+            ?s <name> ?n FILTER(lang(?s) = "en") }''').to_pandas()
+
+
+def test_bind_execution(meta_ds):
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s ?k WHERE {
+        ?s <name> ?n BIND("const" AS ?k) }'''))
+    assert set(got["k"]) == {"const"}
+    assert len(got) == 3
+    # variable copy + filter on the bound variable
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s ?copy WHERE {
+        ?s <name> ?n BIND(?n AS ?copy) FILTER(?copy = "Cora") }'''))
+    assert list(got["copy"]) == ["Cora"]
+    assert list(got["s"]) == ["s3"]
+
+
+def test_exists_not_exists_execution(meta_ds):
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s ?n WHERE {
+        ?s <name> ?n FILTER EXISTS { ?s <age> ?a } }'''))
+    assert list(got["n"]) == ["Anna", "Berta"]
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s ?n WHERE {
+        ?s <name> ?n FILTER NOT EXISTS { ?s <age> ?a } }'''))
+    assert list(got["n"]) == ["Cora"]
+    # no shared variables: the inner group is an ASK guard
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s WHERE {
+        ?s <name> ?n FILTER EXISTS { ?x <p1> ?y } }'''))
+    assert len(got) == 3
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s WHERE {
+        ?s <name> ?n FILTER NOT EXISTS { ?x <zzz> ?y } }'''))
+    assert len(got) == 3
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s WHERE {
+        ?s <name> ?n FILTER NOT EXISTS { ?x <p1> ?y } }'''))
+    assert len(got) == 0
+
+
+def test_not_exists_null_shared_binding_survives(meta_ds):
+    """An unmatched-OPTIONAL null never matches an inner solution:
+    hash-join semantics (documented in bgp_match)."""
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s ?a WHERE {
+        ?s <name> ?n OPTIONAL { ?s <age> ?a }
+        FILTER NOT EXISTS { ?x <p2> ?a } }'''))
+    # s2's age "40"? inner binds ?a to p2-objects {o2}; ages never
+    # match; null (s3) survives too
+    assert len(got) == 3
+
+
+def test_path_alternation_execution(meta_ds):
+    from twine_ray.stages.query import bgp_match
+
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s ?o WHERE {
+        ?s <p1>|<p3> ?o }'''))
+    want = _canon(bgp_match(
+        meta_ds, [(None, "?s", ("p1", "p3"), "?o")],
+        select=["s", "o"],
+    ))
+    pd.testing.assert_frame_equal(got, want)
+    assert sorted(zip(got["s"], got["o"])) == [
+        ("s1", "o1"), ("s3", "o1"),
+    ]
+    # equals the UNION of the single-predicate scans
+    u = _canon(sparql_query(meta_ds, '''SELECT ?s ?o WHERE {
+        { ?s <p1> ?o } UNION { ?s <p3> ?o } }'''))
+    pd.testing.assert_frame_equal(got, u)
+    # inverted alternation swaps endpoints; sequence threading works
+    inv = _canon(sparql_query(meta_ds, '''SELECT ?o ?s WHERE {
+        ?o (^<p1>|^<p3>) ?s }'''))
+    assert sorted(zip(inv["s"], inv["o"])) == [
+        ("s1", "o1"), ("s3", "o1"),
+    ]

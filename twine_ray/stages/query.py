@@ -63,8 +63,19 @@ def _partition_files(store_dir: str, bucket: int | None) -> list[str]:
 
 def match_triples(store_dir: str, *, graph: str | None = None,
                   subj: str | None = None, pred: str | None = None,
-                  obj: str | None = None, columns: list[str] | None = None):
-    """Lazy Dataset of store triples matching the bound terms."""
+                  obj: str | None = None,
+                  obj_lang: str | None = None,
+                  obj_dt: str | None = None,
+                  columns: list[str] | None = None):
+    """Lazy Dataset of store triples matching the bound terms.
+
+    Each of ``graph``/``subj``/``pred``/``obj`` may also be a
+    tuple/list of strings — an IN-SET term (the path-alternation
+    ``(p1|p2)`` scan shape): one scan, the set pushes into the Parquet
+    dataset filter as ``isin``.  ``obj_lang``/``obj_dt`` bind the
+    term-metadata columns (the SPARQL ``lang()``/``datatype()``
+    accessor pushdown — row-group statistics prune on them like any
+    bound term)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
@@ -72,7 +83,7 @@ def match_triples(store_dir: str, *, graph: str | None = None,
     from twine_ray.stages.triples import TRIPLES_SCHEMA
 
     bucket = None
-    if graph is not None:
+    if graph is not None and isinstance(graph, str):
         bucket = bucket_of(graph, _store_num_buckets(store_dir))
     files = _partition_files(store_dir, bucket)
     if not files:
@@ -81,12 +92,16 @@ def match_triples(store_dir: str, *, graph: str | None = None,
     bound = [
         (c, v)
         for c, v in (("graph", graph), ("subj", subj), ("pred", pred),
-                     ("obj", obj))
+                     ("obj", obj), ("obj_lang", obj_lang),
+                     ("obj_dt", obj_dt))
         if v is not None
     ]
     expr = None
     for c, v in bound:
-        e = pc.field(c) == v
+        if isinstance(v, (tuple, list, frozenset, set)):
+            e = pc.field(c).isin(sorted(v))
+        else:
+            e = pc.field(c) == v
         expr = e if expr is None else expr & e
 
     def _strip(t: pa.Table) -> pa.Table:
@@ -113,7 +128,12 @@ def match_triples(store_dir: str, *, graph: str | None = None,
             t = _strip(t)
             mask = None
             for c, v in bound:
-                m = pc.equal(t[c], v)
+                if isinstance(v, (tuple, list, frozenset, set)):
+                    m = pc.is_in(
+                        t[c], value_set=pa.array(sorted(v), pa.string())
+                    )
+                else:
+                    m = pc.equal(t[c], v)
                 mask = m if mask is None else pc.and_(mask, m)
             return t if mask is None else t.filter(mask)
 
@@ -134,8 +154,10 @@ _PATTERN_COLS = ("graph", "subj", "pred", "obj")
 
 def _parse_pattern(pat):
     """3-tuple (subj, pred, obj) or 4-tuple (graph, subj, pred, obj);
-    each term is None (don't care), '?name' (variable) or a literal
-    string (bound).  Returns ({col: literal}, {col: varname})."""
+    each term is None (don't care), '?name' (variable), a literal
+    string (bound), or a tuple/list of strings (bound IN-SET — the
+    path-alternation ``(p1|p2)`` term: one scan matches any member).
+    Returns ({col: literal-or-tuple}, {col: varname})."""
     if len(pat) == 3:
         pat = (None,) + tuple(pat)
     if len(pat) != 4:
@@ -146,15 +168,25 @@ def _parse_pattern(pat):
             continue
         if isinstance(term, str) and term.startswith("?"):
             variables[col] = term[1:]
+        elif isinstance(term, (tuple, list, frozenset, set)):
+            if not term or not all(isinstance(t, str) for t in term):
+                raise ValueError(
+                    f"an IN-SET pattern term needs a non-empty "
+                    f"collection of strings: {term!r}"
+                )
+            bound[col] = tuple(sorted(term))
         else:
             bound[col] = term
     return bound, variables
 
 
-def _pattern_bindings(ds, bound, variables):
+def _pattern_bindings(ds, bound, variables, scan_masks=()):
     """Solutions of one pattern over a triples Dataset: filter the
     bound terms (and intra-pattern repeated-variable equalities),
-    project to one column per distinct variable."""
+    project to one column per distinct variable.  ``scan_masks`` are
+    extra ``(column, op, value)`` raw-column predicates — the
+    lang()/datatype() accessor masks over obj_lang/obj_dt, applied
+    BEFORE projection (bindings carry term strings only)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -165,7 +197,19 @@ def _pattern_bindings(ds, bound, variables):
     def _fn(t: pa.Table) -> pa.Table:
         mask = None
         for col, v in bound.items():
-            m = pc.equal(t[col], v)
+            if isinstance(v, (tuple, list, frozenset, set)):
+                m = pc.is_in(
+                    t[col], value_set=pa.array(sorted(v), pa.string())
+                )
+            else:
+                m = pc.equal(t[col], v)
+            mask = m if mask is None else pc.and_(mask, m)
+        for col, op, val in scan_masks:
+            if op == "==":
+                m = pc.equal(t[col], val)
+            else:  # "!="
+                m = pc.not_equal(t[col], val)
+            m = pc.fill_null(m, False)
             mask = m if mask is None else pc.and_(mask, m)
         for col, var in variables.items():
             if first[var] != col:
@@ -436,8 +480,73 @@ def _apply_modifiers(ds, out_vars, distinct=False, order_by=None,
     return ds
 
 
+def _semi_anti_join(source, acc, acc_vars, acc_rows, inner_patterns,
+                    keep: bool):
+    """EXISTS / NOT EXISTS engine: evaluate ``inner_patterns`` as its
+    own BGP over ``source``, project to the variables SHARED with the
+    accumulated solutions, dedup them (one bucketed exchange), then
+    semi- (``keep=True``) or anti- (``keep=False``) hash-join ``acc``
+    against the deduplicated probe — the bgp_minus shape, no
+    driver-side state.  No shared variables → the inner group is an
+    ASK guard over the whole result.  Returns ``(dataset, rows)``;
+    ``(None, 0)`` means provably empty."""
+    import pyarrow as pa
+
+    from twine_ray.stages.grouped import (
+        bucketed_group_reduce,
+        default_num_partitions,
+    )
+
+    inner = bgp_match(source, inner_patterns)
+    inner_vars = inner.schema().names
+    shared = [v for v in acc_vars if v in inner_vars]
+    if not shared:
+        any_inner = inner.limit(1).count() > 0
+        return (acc, acc_rows) if any_inner == keep else (None, 0)
+    ren = {v: f"__e_{v}" for v in shared}
+    probe = bucketed_group_reduce(
+        inner.map_batches(
+            lambda t, sh=tuple(shared): pa.table(
+                {ren[v]: t[v] for v in sh}
+            ),
+            batch_format="pyarrow",
+        ),
+        list(ren.values()),
+        lambda df: df.drop_duplicates(),
+    ).map_batches(
+        lambda df: df.assign(__e=1), batch_format="pandas"
+    ).materialize()
+    n_p = probe.count()
+    if n_p == 0:
+        return (None, 0) if keep else (acc, acc_rows)
+    left = acc.materialize()
+    acc_rows = left.count()
+    n_parts = max(2, default_num_partitions(
+        hi=32, rows=max(acc_rows, n_p), rows_per_partition=100_000
+    ))
+    joined = left.repartition(n_parts).materialize().join(
+        probe.repartition(n_parts).materialize(),
+        join_type="left_outer", num_partitions=n_parts,
+        on=tuple(shared), right_on=tuple(ren[v] for v in shared),
+    )
+    drop = list(ren.values()) + ["__e"]
+
+    def _keep_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.is_valid(t["__e"]) if keep else pc.is_null(t["__e"])
+        t = t.filter(m)
+        return t.drop_columns([c for c in drop if c in t.schema.names])
+
+    out = joined.map_batches(
+        _keep_rows, batch_format="pyarrow"
+    ).materialize()
+    return out, out.count()
+
+
 def bgp_match(source, patterns, select: list[str] | None = None,
-              optional=(), filters=(), values=None, distinct=False,
+              optional=(), filters=(), values=None, binds=(),
+              exists=(), not_exists=(), distinct=False,
               order_by=None, limit=None, offset=0):
     """SPARQL basic-graph-pattern analog over the triple store — the
     Spindle lookup-endpoint shape (reference: Twine consumers query
@@ -473,10 +582,36 @@ def bgp_match(source, patterns, select: list[str] | None = None,
     lexicographic over the term strings.  A null binding (unmatched
     OPTIONAL) fails every test except ``!bound``.
 
+    Filter specs may also be the disjunction form
+    ``("or", [conj, ...])`` (SPARQL ``||`` — see ``_compile_filters``)
+    and the scan-level term-metadata ops ``lang== lang!= dt== dt!=``
+    (SPARQL ``lang(?v)`` / ``datatype(?v)`` accessors): those compare
+    the store's ``obj_lang`` / ``obj_dt`` columns on every REQUIRED
+    pattern that binds ``?v`` in object position — bindings carry term
+    strings only, so the metadata test happens at the scans (an
+    equality even pushes into the Parquet row-group statistics).
+    Untyped / IRI rows carry ``""`` in both columns — the engine's
+    documented term model.  Scan ops are constant-only and cannot
+    appear inside an ``("or", ...)`` spec.
+
     ``values`` is the SPARQL VALUES analog (inline data): a list of
     ``{var: string-or-None}`` rows; a solution survives if it is
     compatible with at least one row (None = UNDEF, matches anything).
     Applied as one vectorized OR-of-ANDs mask — no shuffle.
+
+    ``binds`` is the SPARQL BIND analog (subset: constant or variable
+    copy): ``(new_var, source)`` pairs where ``source`` is ``"?var"``
+    or a constant string; each appends a column to the solutions after
+    the OPTIONAL joins, so filters and ``select`` can reference the
+    new variable.  ``exists`` / ``not_exists`` are the SPARQL
+    ``FILTER (NOT) EXISTS`` analogs: each entry is a pattern list
+    evaluated as its own BGP; solutions survive iff a compatible inner
+    solution exists (doesn't exist) on the SHARED variables — executed
+    as a distributed semi/anti hash join against the deduplicated
+    inner projection (the bgp_minus shape).  A null shared binding
+    (unmatched OPTIONAL) never matches an inner row: it fails EXISTS
+    and survives NOT EXISTS.  With NO shared variables the inner group
+    acts as an ASK guard over the whole result.
 
     Solution modifiers (SPARQL algebra order — DISTINCT, then ORDER
     BY, then OFFSET/LIMIT): ``distinct=True`` dedups solutions via one
@@ -503,10 +638,53 @@ def bgp_match(source, patterns, select: list[str] | None = None,
         for v in variables.values():
             if v not in all_vars:
                 all_vars.append(v)
+    parsed_binds = []
+    for new_var, src in binds:
+        nv = new_var.lstrip("?")
+        if nv in all_vars:
+            raise ValueError(f"bind target already bound: ?{nv}")
+        if isinstance(src, str) and src.startswith("?"):
+            if src[1:] not in all_vars:
+                raise ValueError(
+                    f"bind references unbound variable: {src}"
+                )
+        parsed_binds.append((nv, src))
+        all_vars.append(nv)
     out_vars = all_vars if select is None else list(select)
     unknown = [v for v in out_vars if v not in all_vars]
     if unknown:
         raise ValueError(f"select names unbound variables: {unknown}")
+
+    # split scan-level term-metadata specs (lang()/datatype()) from the
+    # row-level filter specs: scan specs evaluate over obj_lang/obj_dt
+    # at the pattern scans, row specs over the bindings table
+    scan_specs, row_specs = [], []
+    for f in filters:
+        if f[0] != "or" and f[1] in _SCAN_FILTER_OPS:
+            var, op, *rest = f
+            val = rest[0] if rest else None
+            if not isinstance(val, str) or val.startswith("?"):
+                raise ValueError(f"{op} needs a constant string value")
+            scan_specs.append((var.lstrip("?"), op, val))
+        elif any(op in _SCAN_FILTER_OPS for op in _filter_spec_ops(f)):
+            raise ValueError(
+                "lang()/datatype() accessors cannot appear inside a "
+                "disjunction (scan-level vs row-level evaluation)"
+            )
+        else:
+            row_specs.append(f)
+    if scan_specs:
+        obj_bound = {
+            variables["obj"] for _, variables in parsed
+            if "obj" in variables
+        }
+        for var, op, _ in scan_specs:
+            if var not in obj_bound:
+                raise ValueError(
+                    f"{op.rstrip('=!')}(?{var}) needs ?{var} bound in "
+                    f"object position by a required pattern (term "
+                    f"metadata lives on the object columns)"
+                )
 
     def _empty():
         return rd.from_arrow(pa.table(
@@ -524,15 +702,12 @@ def bgp_match(source, patterns, select: list[str] | None = None,
         binding set before any join — sound because required-pattern
         bindings are never null and filters are idempotent (the final
         group filter still applies, so pushdown can only shrink join
-        inputs, never change the result)."""
-        var, op, *rest = spec
-        if var.lstrip("?") not in pat_vars:
-            return False
-        if op in ("bound", "!bound"):
+        inputs, never change the result).  Recurses into ("or", ...)
+        disjunctions: an OR pushes iff every atom does."""
+        if any(op in ("bound", "!bound")
+               for op in _filter_spec_ops(spec)):
             return False  # null semantics belong after OPTIONAL joins
-        if rest and isinstance(rest[0], str) and rest[0].startswith("?"):
-            return rest[0][1:] in pat_vars
-        return True
+        return all(v in pat_vars for v in _filter_spec_vars(spec))
 
     # evaluate every required pattern once (they must materialize for
     # the joins anyway), then GREEDY JOIN ORDER: start from the
@@ -548,8 +723,11 @@ def bgp_match(source, patterns, select: list[str] | None = None,
         # row groups, not just rows (FILTER(?lang = "en") scans like a
         # bound-object pattern)
         scan_bound = dict(bound)
-        if filters and variables:
-            for var, op, *rest in filters:
+        if row_specs and variables:
+            for spec in row_specs:
+                if spec[0] == "or":
+                    continue
+                var, op, *rest = spec
                 if op != "==" or not rest:
                     continue
                 val = rest[0]
@@ -559,18 +737,34 @@ def bgp_match(source, patterns, select: list[str] | None = None,
                 for col, pvar in variables.items():
                     if pvar == v and col not in scan_bound:
                         scan_bound[col] = val
-        binds = _pattern_bindings(_scan(scan_bound), scan_bound,
-                                  variables)
+        # lang()/datatype() masks for the patterns binding the filter
+        # variable in object position; equality pushes into the scan's
+        # bound terms (Parquet row-group statistics prune on it)
+        extra_masks = []
+        ov = variables.get("obj")
+        if scan_specs and ov is not None:
+            for var, op, val in scan_specs:
+                if var != ov:
+                    continue
+                col = "obj_lang" if op.startswith("lang") else "obj_dt"
+                if op.endswith("!="):
+                    extra_masks.append((col, "!=", val))
+                elif col not in scan_bound:
+                    scan_bound[col] = val
+                else:
+                    extra_masks.append((col, "==", val))
+        pat_binds = _pattern_bindings(_scan(scan_bound), scan_bound,
+                                      variables, extra_masks)
         if not variables:  # ASK guard
-            if binds.count() == 0:
+            if pat_binds.count() == 0:
                 return _empty()
             continue
         pat_vars = set(variables.values())
-        if filters:
-            push = [f for f in filters if _pushable(f, pat_vars)]
+        if row_specs:
+            push = [f for f in row_specs if _pushable(f, pat_vars)]
             if push:
                 pmask = _compile_filters(push, pat_vars)
-                binds = binds.map_batches(
+                pat_binds = pat_binds.map_batches(
                     lambda t, pm=pmask: t.filter(pm(t)),
                     batch_format="pyarrow",
                 )
@@ -586,13 +780,14 @@ def bgp_match(source, patterns, select: list[str] | None = None,
             if vrows and all(
                 set(r) and set(r) <= pat_vars for r in vrows
             ):
-                binds = _apply_values(binds, vrows)
-        binds = binds.materialize()
-        n = binds.count()
+                pat_binds = _apply_values(pat_binds, vrows)
+        pat_binds = pat_binds.materialize()
+        n = pat_binds.count()
         if n == 0:
             return _empty()
         pending.append(
-            [n, idx, binds, list(dict.fromkeys(variables.values()))]
+            [n, idx, pat_binds,
+             list(dict.fromkeys(variables.values()))]
         )
 
     acc = None
@@ -608,9 +803,9 @@ def bgp_match(source, patterns, select: list[str] | None = None,
             ]
             pick = min(sharing or pending, key=lambda e: (e[0], e[1]))
         pending.remove(pick)
-        n, _, binds, pat_vars = pick
+        n, _, pat_binds, pat_vars = pick
         if acc is None:
-            acc, acc_vars, acc_rows = binds, list(pat_vars), n
+            acc, acc_vars, acc_rows = pat_binds, list(pat_vars), n
             continue
         shared = [v for v in acc_vars if v in pat_vars]
         n_parts = max(2, default_num_partitions(
@@ -619,7 +814,7 @@ def bgp_match(source, patterns, select: list[str] | None = None,
         # repartition+materialize: map output can contain empty-schema
         # blocks that break Ray 2.49's hash join (stages/canon.py)
         left = acc.repartition(n_parts).materialize()
-        right = binds.repartition(n_parts).materialize()
+        right = pat_binds.repartition(n_parts).materialize()
         if shared:
             ren = {v: f"__r_{v}" for v in shared}
             right = right.map_batches(
@@ -686,9 +881,9 @@ def bgp_match(source, patterns, select: list[str] | None = None,
                 f"patterns: {pat_vars}"
             )
         new_vars = [v for v in pat_vars if v not in acc_vars]
-        binds = _pattern_bindings(_scan(bound), bound, variables) \
+        pat_binds = _pattern_bindings(_scan(bound), bound, variables) \
             .materialize()
-        n = binds.count()
+        n = pat_binds.count()
         if n == 0:
             # nothing matches anywhere: every solution keeps one row
             # with nulls for the new variables
@@ -703,7 +898,7 @@ def bgp_match(source, patterns, select: list[str] | None = None,
             hi=32, rows=max(acc_rows, n), rows_per_partition=100_000
         ))
         left = acc.repartition(n_parts).materialize()
-        right = binds.repartition(n_parts).materialize()
+        right = pat_binds.repartition(n_parts).materialize()
         ren = {v: f"__r_{v}" for v in shared}
         right = right.map_batches(
             lambda t, ren=ren: t.rename_columns(
@@ -726,13 +921,37 @@ def bgp_match(source, patterns, select: list[str] | None = None,
         acc_rows = acc.count()
         acc_vars.extend(new_vars)
     if acc is None:  # all patterns were ASK guards that matched
-        if filters or values:
-            raise ValueError("filters/values need at least one "
-                             "variable pattern")
+        if filters or values or parsed_binds or exists or not_exists:
+            raise ValueError("filters/values/binds/exists need at "
+                             "least one variable pattern")
         return rd.from_arrow(pa.table({"ask": pa.array([True])})) \
             if not out_vars else _empty()
-    if filters:
-        mask_fn = _compile_filters(filters, acc_vars)
+    # BIND: append constant / copied columns so filters and select see
+    # the new variables (vectorized, no shuffle)
+    for nv, src in parsed_binds:
+        if isinstance(src, str) and src.startswith("?"):
+            acc = acc.map_batches(
+                lambda t, nv=nv, s=src[1:]: t.append_column(nv, t[s]),
+                batch_format="pyarrow",
+            )
+        else:
+            acc = acc.map_batches(
+                lambda t, nv=nv, c=str(src): t.append_column(
+                    nv, pa.nulls(len(t), pa.string()).fill_null(c)
+                ),
+                batch_format="pyarrow",
+            )
+        acc_vars.append(nv)
+    for inner_patterns, keep in (
+        [(g, True) for g in exists] + [(g, False) for g in not_exists]
+    ):
+        acc, acc_rows = _semi_anti_join(
+            source, acc, acc_vars, acc_rows, inner_patterns, keep
+        )
+        if acc is None:
+            return _empty()
+    if row_specs:
+        mask_fn = _compile_filters(row_specs, acc_vars)
         acc = acc.map_batches(
             lambda t: t.filter(mask_fn(t)), batch_format="pyarrow",
         )
@@ -747,7 +966,8 @@ def bgp_match(source, patterns, select: list[str] | None = None,
                             offset=offset)
 
 
-def bgp_construct(source, patterns, template, optional=(), filters=()):
+def bgp_construct(source, patterns, template, optional=(), filters=(),
+                  binds=(), exists=(), not_exists=()):
     """SPARQL CONSTRUCT analog: instantiate a triple ``template`` once
     per solution of the BGP — the rule-driven graph-generation shape
     (Spindle generates proxy graphs from queries over source graphs;
@@ -770,9 +990,10 @@ def bgp_construct(source, patterns, template, optional=(), filters=()):
 
     if not template:
         raise ValueError("bgp_construct needs a non-empty template")
-    binds = bgp_match(source, patterns, optional=optional,
-                      filters=filters)
-    known = set(binds.schema().names)
+    sols = bgp_match(source, patterns, optional=optional,
+                    filters=filters, binds=binds, exists=exists,
+                    not_exists=not_exists)
+    known = set(sols.schema().names)
     parsed_tpl = []
     for entry in template:
         if len(entry) == 4:
@@ -824,14 +1045,14 @@ def bgp_construct(source, patterns, template, optional=(), filters=()):
             parts.append(part)
         return pa.concat_tables(parts)
 
-    return binds.map_batches(_instantiate, batch_format="pyarrow")
+    return sols.map_batches(_instantiate, batch_format="pyarrow")
 
 
 _AGG_OPS = ("count", "count_var", "min", "max")
 
 
 def bgp_aggregate(source, patterns, group_vars, aggs, optional=(),
-                  filters=()):
+                  filters=(), binds=(), exists=(), not_exists=()):
     """SPARQL SELECT-with-GROUP-BY analog: aggregate the solutions of
     a BGP.  ``group_vars`` names the grouping variables; ``aggs`` maps
     output column -> ``("count",)`` (solutions per group),
@@ -859,9 +1080,10 @@ def bgp_aggregate(source, patterns, group_vars, aggs, optional=(),
             raise ValueError(f"{op} needs a variable")
         specs.append((out_col, op, var))
 
-    binds = bgp_match(source, patterns, optional=optional,
-                      filters=filters)
-    known = set(binds.schema().names)
+    sols = bgp_match(source, patterns, optional=optional,
+                    filters=filters, binds=binds, exists=exists,
+                    not_exists=not_exists)
+    known = set(sols.schema().names)
     needed = set(group_vars) | {v for _, _, v in specs if v}
     missing = sorted(needed - known)
     if missing:
@@ -908,7 +1130,7 @@ def bgp_aggregate(source, patterns, group_vars, aggs, optional=(),
         return pd.DataFrame(cols).reset_index()
 
     return bucketed_group_reduce(
-        binds.map_batches(_to_partial, batch_format="pandas"),
+        sols.map_batches(_to_partial, batch_format="pandas"),
         group_vars, _merge,
     )
 
@@ -927,7 +1149,9 @@ def bgp_union(source, groups, select: list[str] | None = None):
         raise ValueError("bgp_union needs at least one group")
     results = [
         bgp_match(source, g["patterns"], optional=g.get("optional", ()),
-                  filters=g.get("filters", ()))
+                  filters=g.get("filters", ()),
+                  binds=g.get("binds", ()), exists=g.get("exists", ()),
+                  not_exists=g.get("not_exists", ()))
         for g in groups
     ]
     all_vars: list[str] = []
@@ -955,7 +1179,8 @@ def bgp_union(source, groups, select: list[str] | None = None):
     return out
 
 
-def bgp_ask(source, patterns, optional=(), filters=(), values=None):
+def bgp_ask(source, patterns, optional=(), filters=(), values=None,
+            binds=(), exists=(), not_exists=()):
     """SPARQL ASK analog: does at least one solution exist?  Returns a
     one-row Dataset ``{ask: bool}``.  The probe is ``limit(1)`` over
     the lazy solution stream — the streaming executor stops pulling
@@ -964,16 +1189,18 @@ def bgp_ask(source, patterns, optional=(), filters=(), values=None):
     import pyarrow as pa
     import ray.data as rd
 
-    binds = bgp_match(source, patterns, optional=optional,
-                      filters=filters, values=values)
+    sols = bgp_match(source, patterns, optional=optional,
+                    filters=filters, values=values, binds=binds,
+                    exists=exists, not_exists=not_exists)
     # all-ASK-guard patterns yield a 1-row {ask: True} on match and a
     # zero-column empty table otherwise; variable patterns yield
     # solutions — in both cases "any row" is the answer
-    n = binds.limit(1).count()
+    n = sols.limit(1).count()
     return rd.from_arrow(pa.table({"ask": pa.array([n > 0])}))
 
 
 def bgp_minus(source, patterns, minus, optional=(), filters=(),
+              binds=(), exists=(), not_exists=(),
               select: list[str] | None = None):
     """SPARQL MINUS analog: remove solutions compatible with some
     solution of the ``minus`` pattern group on their SHARED variables.
@@ -994,7 +1221,8 @@ def bgp_minus(source, patterns, minus, optional=(), filters=(),
     )
 
     acc = bgp_match(source, patterns, optional=optional,
-                    filters=filters)
+                    filters=filters, binds=binds, exists=exists,
+                    not_exists=not_exists)
     acc_vars = list(acc.schema().names)
     m = bgp_match(source, minus)
     shared = [v for v in acc_vars if v in m.schema().names]

@@ -29,19 +29,40 @@ Supported subset (anything else raises ``SparqlSyntaxError``):
   pattern of the group with variable endpoints; ``p+`` is
   DEPTH-BOUNDED at ``PLUS_MAX_DEPTH`` (3) like the programmatic
   algebra — an unbounded ``+`` over a web-scale store is an
-  all-pairs explosion, the documented partitioning assumption
+  all-pairs explosion, the documented partitioning assumption.
+  ``p{m,n}`` with ``m >= 2`` filters by MIN-SHORTEST-PATH depth
+  (a pair whose shortest path is shorter than ``m`` is excluded,
+  even if a longer path also exists) — this intentionally differs
+  from the ``p/p`` sequence sugar, which counts ANY path of that
+  exact length; the window semantics match the kg_path closure and
+  its recursive-CTE oracle
+- path alternation ``p1|p2`` (optionally parenthesized, usable
+  inside a sequence as ``(p1|p2)/p3``): alternatives are single
+  constant predicates with UNIFORM inversion — executed as ONE
+  pred-IN-SET scan, no union explosion
+- ``BIND(const-or-?var AS ?new)``: constant / variable-copy
+  projection (general expressions are not in the subset)
+- ``FILTER EXISTS { ... }`` / ``FILTER NOT EXISTS { ... }`` over a
+  plain pattern group: distributed semi/anti join on the shared
+  variables (a null shared binding fails EXISTS and survives NOT
+  EXISTS — hash-join semantics, documented in bgp_match)
 - FILTER subset: ``=  !=  <  <=  >  >=`` on ``?var`` vs a string /
   number / IRI / other ``?var`` (lexicographic over term strings, the
   algebra's documented semantics), ``regex(?v, "re")``,
-  ``contains(?v, "s")``, ``bound(?v)``, ``!bound(?v)``, joined by
-  ``&&``
+  ``contains(?v, "s")``, ``bound(?v)``, ``!bound(?v)``,
+  ``lang(?v) = "en"`` / ``datatype(?v) = <iri>`` (and ``!=`` — read
+  the store's obj_lang/obj_dt term-metadata columns at the scans
+  binding ``?v`` in object position; untyped rows carry ``""``),
+  combined with ``&&``, ``||`` and parentheses (lang()/datatype()
+  cannot sit inside a ``||`` — scan-level vs row-level evaluation)
 
 NOT supported (documented, explicit errors): nested OPTIONAL groups,
-subqueries, EXISTS/NOT EXISTS, BIND, SERVICE, property paths beyond
-``^`` and ``/`` (use the programmatic path algebra — stages/bfs), ``|``
-filter disjunction, language-tagged / datatype-suffixed literal terms
-(the store matches on lexical forms; obj_lang/obj_dt live in their own
-columns), blank nodes in query position.
+subqueries, SERVICE, general BIND expressions, property paths beyond
+``^`` ``/`` ``|`` and the bounded quantifiers (no ``*``, no unbounded
+``+`` — use the programmatic path algebra, stages/bfs), language-tagged
+/ datatype-suffixed literal TERMS (the store matches on lexical forms;
+constrain obj_lang/obj_dt with the lang()/datatype() FILTER accessors
+instead), blank nodes in query position.
 
 CONSTRUCT templates are QUAD templates: every template triple must sit
 inside a ``GRAPH`` block (the store is named-graph shaped; this is the
@@ -155,14 +176,16 @@ _KEYWORDS = {
     "distinct", "optional", "filter", "values", "minus", "union",
     "graph", "order", "by", "asc", "desc", "limit", "offset", "group",
     "count", "min", "max", "as", "undef", "regex", "contains", "bound",
-    "a", "true", "false",
+    "a", "true", "false", "bind", "exists", "not", "lang", "datatype",
 }
 
 _UNSUPPORTED = {
-    "bind": "BIND", "exists": "EXISTS", "service": "SERVICE",
+    "service": "SERVICE",
     "reduced": "REDUCED", "from": "FROM", "having": "HAVING",
     "insert": "SPARQL Update", "delete": "SPARQL Update",
 }
+
+_SCAN_OPS = ("lang==", "lang!=", "dt==", "dt!=")
 
 
 class _Var(str):
@@ -292,55 +315,137 @@ class _Parser:
                 return None
         raise SparqlSyntaxError(f"expected a term, got {val!r}")
 
+    def _path_member(self):
+        """One alternation member: ['^'] constant predicate."""
+        inverted = self.eat_op("^")
+        term = self.parse_term()
+        if isinstance(term, _Var):
+            raise SparqlSyntaxError(
+                "path alternation needs constant predicates"
+            )
+        if isinstance(term, _Lit):
+            raise SparqlSyntaxError("literal predicates are invalid")
+        return str(term), inverted
+
+    def _collapse_alt(self, preds):
+        """Alternation members -> ONE pred-IN-SET step (uniform
+        inversion required — mixed directions cannot share a scan)."""
+        if len({inv for _, inv in preds}) > 1:
+            raise SparqlSyntaxError(
+                "path alternation members must share inversion "
+                "(all ^-inverted or none) in the subset"
+            )
+        inverted = preds[0][1]
+        if len(preds) == 1:
+            return preds[0][0], inverted
+        return tuple(sorted({p for p, _ in preds})), inverted
+
     def parse_predicate_path(self):
-        """Predicate position: iri | 'a' | ^elt | elt/elt... with an
-        optional trailing quantifier ``+`` / ``{m,n}``.  Returns
-        (steps, quant): steps = [(iri_or_var, inverted)...]; quant =
-        None or (min_hops, max_hops) — a quantifier is only legal on a
-        single non-sequence step (checked by the caller's context)."""
+        """Predicate position: iri | 'a' | ?var | ^elt | elt/elt... |
+        alternation ``p1|p2`` / ``(p1|p2)`` — alternatives are single
+        constant predicates with uniform inversion, collapsed into ONE
+        pred-IN-SET step (one scan, no union explosion; usable inside
+        a sequence as ``(p1|p2)/p3``) — with an optional trailing
+        quantifier ``+`` / ``{m,n}`` on a single plain step.  Returns
+        (steps, quant): steps = [(pred_or_tuple_or_var, inverted)...];
+        quant = None or (min_hops, max_hops)."""
         steps = []
         quant = None
         while True:
-            inverted = self.eat_op("^")
-            kind, val = self.peek()
-            if kind == "OP" and val in ("|", "*", "?"):
-                raise SparqlSyntaxError(
-                    f"property-path operator {val!r} is not in the text "
-                    "subset (use the programmatic path algebra, "
-                    "stages/bfs)"
-                )
-            term = self.parse_term()
-            steps.append((term, inverted))
-            if self.eat_op("+"):
-                quant = (1, PLUS_MAX_DEPTH)
-            elif self.at_op("{"):
+            if self.at_op("("):
                 self.next()
-                kind, val = self.next()
-                if kind != "NUMBER":
-                    raise SparqlSyntaxError("path {m,n} needs integers")
-                m = _int(val, "path {m,n}")
-                n = m
-                if self.eat_op(","):
+                preds = [self._path_member()]
+                while self.eat_op("|"):
+                    preds.append(self._path_member())
+                self.expect_op(")")
+                steps.append(self._collapse_alt(preds))
+                if self.at_op("+") or self.at_op("{"):
+                    raise SparqlSyntaxError(
+                        "a quantifier on a parenthesized path is not "
+                        "in the subset"
+                    )
+            else:
+                inverted = self.eat_op("^")
+                kind, val = self.peek()
+                if inverted and kind == "OP" and val == "(":
+                    raise SparqlSyntaxError(
+                        "invert alternation members individually: "
+                        "(^a|^b), not ^(a|b)"
+                    )
+                if kind == "OP" and val in ("*", "?"):
+                    raise SparqlSyntaxError(
+                        f"property-path operator {val!r} is not in the "
+                        "text subset (use the programmatic path "
+                        "algebra, stages/bfs)"
+                    )
+                term = self.parse_term()
+                if self.at_op("|"):
+                    # bare alternation — lowest-precedence in SPARQL,
+                    # so it must own the whole path here (sequence
+                    # alternatives need parentheses in the subset)
+                    if steps:
+                        raise SparqlSyntaxError(
+                            "alternation of path sequences needs "
+                            "parentheses: (a|b)/c"
+                        )
+                    if isinstance(term, _Var):
+                        raise SparqlSyntaxError(
+                            "path alternation needs constant predicates"
+                        )
+                    if isinstance(term, _Lit):
+                        raise SparqlSyntaxError(
+                            "literal predicates are invalid"
+                        )
+                    preds = [(str(term), inverted)]
+                    while self.eat_op("|"):
+                        preds.append(self._path_member())
+                    if self.at_op("/"):
+                        raise SparqlSyntaxError(
+                            "alternation of path sequences needs "
+                            "parentheses: a|b/c is not in the subset; "
+                            "(a|b)/c is"
+                        )
+                    steps.append(self._collapse_alt(preds))
+                    if self.at_op("+") or self.at_op("{"):
+                        raise SparqlSyntaxError(
+                            "a quantifier on an alternation is not in "
+                            "the subset"
+                        )
+                    break
+                steps.append((term, inverted))
+                if self.eat_op("+"):
+                    quant = (1, PLUS_MAX_DEPTH)
+                elif self.at_op("{"):
+                    self.next()
                     kind, val = self.next()
                     if kind != "NUMBER":
                         raise SparqlSyntaxError(
                             "path {m,n} needs integers"
                         )
-                    n = _int(val, "path {m,n}")
-                self.expect_op("}")
-                if m < 1 or n < m:
-                    raise SparqlSyntaxError(
-                        "path {m,n} needs 1 <= m <= n (zero-length "
-                        "paths are not in the subset)"
-                    )
-                quant = (m, n)
-            if quant is not None:
-                if len(steps) > 1 or self.at_op("/"):
-                    raise SparqlSyntaxError(
-                        "a path quantifier applies to a single step "
-                        "only (no sequence mixing in the subset)"
-                    )
-                break
+                    m = _int(val, "path {m,n}")
+                    n = m
+                    if self.eat_op(","):
+                        kind, val = self.next()
+                        if kind != "NUMBER":
+                            raise SparqlSyntaxError(
+                                "path {m,n} needs integers"
+                            )
+                        n = _int(val, "path {m,n}")
+                    self.expect_op("}")
+                    if m < 1 or n < m:
+                        raise SparqlSyntaxError(
+                            "path {m,n} needs 1 <= m <= n (zero-length "
+                            "paths are not in the subset)"
+                        )
+                    quant = (m, n)
+                if quant is not None:
+                    if len(steps) > 1 or self.at_op("/"):
+                        raise SparqlSyntaxError(
+                            "a path quantifier applies to a single "
+                            "step only (no sequence mixing in the "
+                            "subset)"
+                        )
+                    break
             if not self.eat_op("/"):
                 break
         return steps, quant
@@ -380,7 +485,8 @@ class _Parser:
         self.expect_op("{")
         out = {"patterns": [], "optional": [], "filters": [],
                "values": None, "minus": None, "union_groups": None,
-               "path_quants": []}
+               "path_quants": [], "binds": [], "exists": [],
+               "not_exists": []}
 
         # { A } UNION { B } form: group starts with a nested brace
         if self.at_op("{") and allow_compound:
@@ -446,7 +552,43 @@ class _Parser:
                 out["minus"] = inner["patterns"]
             elif self.at_kw("filter"):
                 self.next()
-                out["filters"].extend(self.parse_filter())
+                if self.at_kw("exists") or self.at_kw("not"):
+                    neg = self.eat_kw("not")
+                    self.expect_kw("exists")
+                    if not allow_compound:
+                        raise SparqlSyntaxError(
+                            "FILTER (NOT) EXISTS inside a nested group "
+                            "is not in the subset"
+                        )
+                    inner = self.parse_group(allow_compound=False)
+                    if inner["filters"] or inner["path_quants"]:
+                        raise SparqlSyntaxError(
+                            "the EXISTS group holds plain patterns "
+                            "only in the subset (no FILTER / "
+                            "quantified paths inside)"
+                        )
+                    key = "not_exists" if neg else "exists"
+                    out[key].append(inner["patterns"])
+                else:
+                    out["filters"].extend(self.parse_filter())
+            elif self.at_kw("bind"):
+                if not allow_compound:
+                    raise SparqlSyntaxError(
+                        "BIND inside a nested group is not in the "
+                        "subset"
+                    )
+                self.next()
+                self.expect_op("(")
+                term = self.parse_term()
+                self.expect_kw("as")
+                var = self._expect_var()
+                self.expect_op(")")
+                if term is None:
+                    raise SparqlSyntaxError(
+                        "BIND needs a constant or ?variable expression"
+                    )
+                src = f"?{term}" if isinstance(term, _Var) else str(term)
+                out["binds"].append((var, src))
             elif self.at_kw("values"):
                 if not allow_compound:
                     raise SparqlSyntaxError(
@@ -536,26 +678,59 @@ class _Parser:
     # -- FILTER -----------------------------------------------------------
 
     def parse_filter(self) -> list[tuple]:
-        """FILTER body -> list of (var, op, value) algebra specs (&&
-        conjunction becomes multiple specs)."""
+        """FILTER body -> list of algebra filter specs: ``&&`` becomes
+        multiple ``(var, op, value)`` specs, ``||`` becomes ONE
+        ``("or", [conjunction, ...])`` spec (the _compile_filters
+        disjunction form); parentheses group freely."""
         if self.at_op("("):
             self.next()
-            specs = [self._filter_atom()]
-            while self.eat_op("&&"):
-                specs.append(self._filter_atom())
-            if self.at_op("|"):
-                raise SparqlSyntaxError(
-                    "FILTER disjunction (||) is not in the subset"
-                )
+            specs = self._filter_or()
             self.expect_op(")")
             return specs
         return [self._filter_atom()]
 
+    def _filter_or(self) -> list[tuple]:
+        """conj ('||' conj)* -> conjunction spec list (single-conj
+        case) or one ("or", [conj...]) spec."""
+        conjs = [self._filter_and()]
+        while self.eat_op("||"):
+            conjs.append(self._filter_and())
+        if len(conjs) == 1:
+            return conjs[0]
+        for conj in conjs:
+            for atom in conj:
+                if self._spec_has_scan_op(atom):
+                    raise SparqlSyntaxError(
+                        "lang()/datatype() accessors cannot appear "
+                        "inside a || disjunction (they evaluate at "
+                        "the pattern scans, not on the bindings)"
+                    )
+        return [("or", conjs)]
+
+    def _filter_and(self) -> list[tuple]:
+        specs = [self._filter_atom()]
+        while self.eat_op("&&"):
+            specs.append(self._filter_atom())
+        return specs
+
+    @staticmethod
+    def _spec_has_scan_op(spec) -> bool:
+        if spec[0] == "or":
+            return any(
+                _Parser._spec_has_scan_op(a)
+                for conj in spec[1] for a in conj
+            )
+        return spec[1] in _SCAN_OPS
+
     def _filter_atom(self) -> tuple:
         if self.eat_op("("):
-            spec = self._filter_atom()
+            specs = self._filter_or()
             self.expect_op(")")
-            return spec
+            if len(specs) == 1:
+                return specs[0]
+            # a parenthesized conjunction as one atom: an OR of a
+            # single conjunction is exactly AND
+            return ("or", [specs])
         if self.eat_op("!"):
             self.expect_kw("bound")
             self.expect_op("(")
@@ -578,6 +753,42 @@ class _Parser:
                 raise SparqlSyntaxError(f"{fn} needs a string argument")
             self.expect_op(")")
             return (var, fn, _unescape(val[1:-1]))
+        if self.at_kw("lang") or self.at_kw("datatype"):
+            fn = self.next()[1].lower()
+            self.expect_op("(")
+            var = self._expect_var()
+            self.expect_op(")")
+            kind, opval = self.next()
+            if kind != "OP" or opval not in ("=", "!="):
+                raise SparqlSyntaxError(
+                    f"{fn}() supports = and != comparisons only"
+                )
+            kind, val = self.peek()
+            if fn == "lang":
+                if kind != "STRING":
+                    raise SparqlSyntaxError(
+                        'lang() compares to a string ("en"; "" matches '
+                        "untyped / IRI rows)"
+                    )
+                self.next()
+                value = _unescape(val[1:-1])
+            else:
+                if kind == "IRI":
+                    self.next()
+                    value = self._resolve_iri(val[1:-1])
+                elif kind == "PNAME":
+                    self.next()
+                    value = self._expand_pname(val)
+                elif kind == "STRING":
+                    self.next()
+                    value = _unescape(val[1:-1])
+                else:
+                    raise SparqlSyntaxError(
+                        "datatype() compares to an IRI or a string"
+                    )
+            op = ("lang" if fn == "lang" else "dt") + \
+                ("==" if opval == "=" else "!=")
+            return (var, op, value)
         var = self._expect_var()
         kind, opval = self.next()
         ops = {"=": "==", "!=": "!=", "<": "<", "<=": "<=",
@@ -805,6 +1016,12 @@ class _Parser:
                         "templates"
                     )
                 for s, p, o in pats:
+                    if isinstance(p, tuple):
+                        raise SparqlSyntaxError(
+                            "path alternation is not allowed in "
+                            "CONSTRUCT templates (a template names "
+                            "ONE predicate)"
+                        )
                     entries.append((gterm, s, p, o, isinstance(o, _Lit)))
                 self.eat_op(".")
             self.expect_op("}")
@@ -821,11 +1038,14 @@ class _Parser:
 
 
 def _term_str(term):
-    """Parser term -> bgp_* pattern term ('?name' for variables)."""
+    """Parser term -> bgp_* pattern term ('?name' for variables; a
+    tuple is a pred-IN-SET alternation term, passed through)."""
     if term is None:
         return None
     if isinstance(term, _Var):
         return f"?{term}"
+    if isinstance(term, tuple):
+        return term
     return str(term)
 
 
@@ -857,7 +1077,9 @@ def _exec_path_quant(source, plan):
     group = plan["group"]
     if group["patterns"] or group["optional"] or group["filters"] or \
             group["values"] is not None or group["minus"] is not None \
-            or len(group["path_quants"]) != 1 or plan["aggs"]:
+            or group["binds"] or group["exists"] or \
+            group["not_exists"] or len(group["path_quants"]) != 1 \
+            or plan["aggs"]:
         raise SparqlSyntaxError(
             "a quantified path must be the SOLE pattern of the group "
             "(the subset — closures do not join with other patterns)"
@@ -979,20 +1201,27 @@ def sparql_query(source, text: str):
         return _exec_path_quant(source, plan)
     patterns = _pattern_tuples(group["patterns"])
     optional = _pattern_tuples(group["optional"])
+    binds = group["binds"]
+    exists = [_pattern_tuples(g) for g in group["exists"]]
+    not_exists = [_pattern_tuples(g) for g in group["not_exists"]]
     if form == "ask":
         return bgp_ask(source, patterns, optional=optional,
-                       filters=group["filters"], values=group["values"])
+                       filters=group["filters"], values=group["values"],
+                       binds=binds, exists=exists,
+                       not_exists=not_exists)
     if form == "construct":
         template = [
             tuple(_term_str(t) for t in e[:4]) + (e[4],)
             for e in plan["template"]
         ]
         return bgp_construct(source, patterns, template,
-                             optional=optional, filters=group["filters"])
+                             optional=optional, filters=group["filters"],
+                             binds=binds, exists=exists,
+                             not_exists=not_exists)
     # SELECT
     if group["union_groups"] is not None:
         if plan["aggs"] or group["optional"] or group["minus"] or \
-                group["values"]:
+                group["values"] or binds or exists or not_exists:
             raise SparqlSyntaxError(
                 "UNION combines only with plain pattern groups in the "
                 "subset"
@@ -1026,6 +1255,7 @@ def sparql_query(source, text: str):
         res = bgp_aggregate(
             source, patterns, plan["group_by"], plan["aggs"],
             optional=optional, filters=group["filters"],
+            binds=binds, exists=exists, not_exists=not_exists,
         )
         if plan["distinct"] or plan["order_by"] or \
                 plan["limit"] is not None:
@@ -1048,11 +1278,13 @@ def sparql_query(source, text: str):
         return bgp_minus(
             source, patterns, _pattern_tuples(group["minus"]),
             optional=optional, filters=group["filters"],
+            binds=binds, exists=exists, not_exists=not_exists,
             select=plan["select"],
         )
     return bgp_match(
         source, patterns, select=plan["select"], optional=optional,
         filters=group["filters"], values=group["values"],
+        binds=binds, exists=exists, not_exists=not_exists,
         distinct=plan["distinct"], order_by=plan["order_by"],
         limit=plan["limit"], offset=plan["offset"],
     )
