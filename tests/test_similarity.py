@@ -121,3 +121,29 @@ def test_ivf_single_assignment_pass(ray_session, tmp_path):
     _df(q_ann_ivf(SF, count_dir=str(run_dir)))
     got = len(list(run_dir.iterdir()))
     assert got == expected, (got, expected)
+
+
+def test_query_vectors_pruned_read_parity(ray_session, sf_dir):
+    """The pruned direct parquet read returns exactly the rows the old
+    full-Dataset filter pass produced (VERDICT r4: no corpus scan just
+    to fetch the query vectors) — and it never touches ray.data."""
+    import numpy as np
+
+    from twine_ray.pipelines.similarity import (
+        N_QUERIES,
+        _emb,
+        _query_vectors,
+    )
+
+    got = _query_vectors(sf_dir)
+    want = (
+        _emb(sf_dir)
+        .filter(expr=f"vec_id < {N_QUERIES}")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    assert len(got) == N_QUERIES
+    for a, b in zip(got["embedding"], want["embedding"]):
+        assert np.allclose(np.asarray(a), np.asarray(b))

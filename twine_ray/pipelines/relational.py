@@ -313,14 +313,22 @@ def q_distinct(sf_dir: str):
 
 
 def q_agg_global(sf_dir: str):
-    """Global lineitem stats in one partial+final pass."""
+    """Global lineitem stats in one partial+final pass.
+
+    Scale shape: the one-row-per-batch partials merge through a
+    constant-key ``bucketed_group_reduce`` (the CMS-merge pattern), so
+    a WORKER — not the driver — folds the blocks-proportional partial
+    rows; the driver reads exactly one merged row."""
     ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
 
     import numpy as np
 
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
+                "__k": [0],
                 "n_rows": [len(df)],
                 "sum_qty_u": [
                     int(np.round(
@@ -332,13 +340,27 @@ def q_agg_global(sf_dir: str):
             }
         )
 
-    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "__k": [0],
+                "n_rows": [int(df["n_rows"].sum())],
+                "sum_qty_u": [int(df["sum_qty_u"].sum())],
+                "min_price": [df["min_price"].min()],
+                "max_price": [df["max_price"].max()],
+            }
+        )
+
+    merged = bucketed_group_reduce(
+        ds.map_batches(_partial, batch_format="pandas"),
+        ["__k"], _merge,
+    ).to_pandas()  # exactly one row
     return pd.DataFrame(
         {
-            "n_rows": [int(parts["n_rows"].sum())],
-            "sum_qty": [float(parts["sum_qty_u"].sum()) / MICRO],
-            "min_price": [float(parts["min_price"].min())],
-            "max_price": [float(parts["max_price"].max())],
+            "n_rows": [int(merged["n_rows"].iloc[0])],
+            "sum_qty": [float(merged["sum_qty_u"].iloc[0]) / MICRO],
+            "min_price": [float(merged["min_price"].iloc[0])],
+            "max_price": [float(merged["max_price"].iloc[0])],
         }
     )
 
@@ -741,18 +763,36 @@ def q_conditional_agg(sf_dir: str):
         urgent = (df["o_orderpriority"] == "1-URGENT").to_numpy()
         return pd.DataFrame(
             {
+                "__k": [0],
                 "urgent_rev": [int(rev_u[urgent].sum())],
                 "other_rev": [int(rev_u[~urgent].sum())],
                 "n_urgent": [int(urgent.sum())],
             }
         )
 
-    parts = joined.map_batches(_partial, batch_format="pandas").to_pandas()
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "__k": [0],
+                "urgent_rev": [int(df["urgent_rev"].sum())],
+                "other_rev": [int(df["other_rev"].sum())],
+                "n_urgent": [int(df["n_urgent"].sum())],
+            }
+        )
+
+    # constant-key worker-side merge of the one-row partials (the
+    # CMS-merge pattern) — the driver reads exactly one row
+    from twine_ray.stages.grouped import bucketed_group_reduce
+
+    merged = bucketed_group_reduce(
+        joined.map_batches(_partial, batch_format="pandas"),
+        ["__k"], _merge,
+    ).to_pandas()
     return pd.DataFrame(
         {
-            "urgent_rev": [float(parts["urgent_rev"].sum()) / MICRO],
-            "other_rev": [float(parts["other_rev"].sum()) / MICRO],
-            "n_urgent": [int(parts["n_urgent"].sum())],
+            "urgent_rev": [float(merged["urgent_rev"].iloc[0]) / MICRO],
+            "other_rev": [float(merged["other_rev"].iloc[0]) / MICRO],
+            "n_urgent": [int(merged["n_urgent"].iloc[0])],
         }
     )
 
