@@ -627,16 +627,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # query earns a driver-green row across rounds: rounds 1-3 checked
     # the 40 relational + 10 text-head entries, round 4 checked the 50
     # oracled entries those rounds never reached.  This round the
-    # window keeps 39 round-4 entries and swaps in the 11 that have no
+    # window keeps 38 round-4 entries and swaps in the 12 that have no
     # driver-green history: the four round-4 SPARQL text twins
     # (kg_sparql_union/minus/modifiers/construct — added after the r4
-    # reorder, aliased oracles, local-parity only until now) and the
+    # reorder, aliased oracles, local-parity only until now), the
     # seven new round-5 SPARQL constructs (||, BIND, EXISTS,
-    # NOT EXISTS, path alternation, lang(), datatype()).  Swapped out
-    # (driver-green in r4, oracle parity still enforced every round by
-    # tools/check_oracles.py over ALL oracled queries): media_* (5),
-    # path_algebra, path_optional, event_funnel, cohort_retention,
-    # doc_split, sample_stratified.
+    # NOT EXISTS, path alternation, lang(), datatype()), and
+    # doc_langid_best (the integer score twin of the langid
+    # heuristic).  Swapped out (driver-green in r4, oracle parity
+    # still enforced every round by tools/check_oracles.py over ALL
+    # oracled queries): media_* (5), path_algebra, path_optional,
+    # event_funnel, cohort_retention, doc_split, sample_stratified,
+    # contrastive_negatives.
     return {
         # --- KG pipeline + SPARQL surface (oracled slices first; the
         # store is built once per session and shared — _kg_triples)
@@ -691,15 +693,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": text.q_doc_repetition,
         "repetition_filter": text.q_repetition_filter,
         "doc_langid_counts": text.q_doc_langid_counts,
+        "doc_langid_best": text.q_doc_langid_best,
         # --- training-data pipeline extras (oracled)
         "doc_chunks": text.q_doc_chunks,
         "train_shards": text.q_train_shards,
         "train_packing": text.q_train_packing,
         "curate_corpus": text.q_curate_corpus,
-        "contrastive_negatives": text.q_contrastive_negatives,
         # ================= driver window boundary (50) =================
         # --- below the window: driver-green in earlier rounds; oracle
         # parity still enforced locally every round
+        "contrastive_negatives": text.q_contrastive_negatives,
         "doc_split": text.q_doc_split,
         "sample_stratified": text.q_sample_stratified,
         # event/graph analytics (driver-green r4)
@@ -838,6 +841,43 @@ def _langid_counts_sql() -> str:
     """
 
 
+def _langid_best_sql() -> str:
+    """doc_langid_best oracle: the count CTE (same generated SQL as
+    doc_langid_counts — single source of truth) scored in exact
+    integers: score2 = 6*sw + tri, winner by (score2 DESC, lang ASC),
+    kept iff n_tokens > 0 AND 10*score2 >= 3*n_tokens (the heuristic's
+    0.15 threshold cross-multiplied)."""
+    return f"""
+        WITH counts AS ({_langid_counts_sql()}),
+        ntok AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       lower(substr(COALESCE(text, ''), 1, 4000)),
+                       '[a-z]+')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        sc AS (
+            SELECT doc_id, lang,
+                   CAST(6 * sw_hits + tri_hits AS BIGINT) AS score2
+            FROM counts
+        ),
+        best AS (
+            SELECT doc_id, lang, score2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score2 DESC, lang ASC) AS rn
+            FROM sc
+        )
+        SELECT b.doc_id,
+               CASE WHEN n.n_tokens > 0
+                         AND 10 * b.score2 >= 3 * n.n_tokens
+                    THEN b.lang ELSE '' END AS lang,
+               b.score2, n.n_tokens
+        FROM best b JOIN ntok n ON b.doc_id = n.doc_id
+        WHERE b.rn = 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_literals()
     # SPARQL text twins execute the SAME semantics through the parser,
@@ -853,6 +893,7 @@ def oracle_sql() -> dict[str, str]:
 def _oracle_sql_literals() -> dict[str, str]:
     return {
         "doc_langid_counts": _langid_counts_sql(),
+        "doc_langid_best": _langid_best_sql(),
         "kg_sparql_or": """
             -- FILTER(?lang = "de" || ?lang = "fr") over the joined
             -- lang+title solutions (title requires variant <> 3)

@@ -197,3 +197,41 @@ def test_langid_feature_counts_edges():
     c = langid_feature_counts("the theory of the")
     assert c["en"][0] == 3  # 'the' x2 + 'of'
     assert c["en"][1] >= 3  # trigram 'the' occurs 3x ('the', 'theory')
+
+
+def test_langid_best_matches_scalar_recompute(ray_session, sf_dir):
+    """q_doc_langid_best == per-row recompute from the frozen scalar
+    spec (langid_feature_counts) + the same integer threshold — pins
+    the vectorized argmax/tie-break/threshold to the spec."""
+    import re
+
+    from twine_ray.functions.langid import langid_feature_counts
+    from twine_ray.pipelines.text import q_doc_langid_best
+
+    got = (
+        q_doc_langid_best(sf_dir)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    for _, row in docs.head(100).iterrows():
+        text = row["text"] or ""
+        sample = text[:4000].lower()
+        n_tokens = len(re.findall(r"[a-z]+", sample))
+        counts = langid_feature_counts(text)
+        scores = {
+            lang: 6 * sw + tri for lang, (sw, tri) in counts.items()
+        }
+        best = min(
+            scores, key=lambda k: (-scores[k], k)
+        )
+        win = n_tokens > 0 and 10 * scores[best] >= 3 * n_tokens
+        g = got.loc[row["doc_id"]]
+        assert int(g["n_tokens"]) == n_tokens, row["doc_id"]
+        assert int(g["score2"]) == scores[best], row["doc_id"]
+        assert g["lang"] == (best if win else ""), row["doc_id"]

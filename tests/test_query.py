@@ -888,3 +888,49 @@ def test_scan_filter_validation(ray_session):
     with pytest.raises(ValueError, match="constant"):
         bgp_match(ds, [(None, "?s", "p", "?o")],
                   filters=[("o", "lang==", "?s")])
+
+
+def test_describe_bnode_closure(ray_session):
+    """DESCRIBE walks blank-node-valued objects transitively (concise
+    bounded description): a Turtle property list puts _: subjects in
+    the store; their properties belong to the resource's description.
+    Cycles terminate via the visited set; unrelated bnodes stay out."""
+    ds = _triples_ds({
+        "graph": ["g"] * 8,
+        "subj":  ["r", "r", "_:b1", "_:b1", "_:b2", "x", "_:z", "o"],
+        "pred":  ["name", "addr", "street", "next", "street",
+                  "link", "street", "back"],
+        "obj":   ["R", "_:b1", "S1", "_:b2", "S2", "r", "ZZ", "r"],
+        "obj_is_lit": [True, False, True, False, True,
+                       False, True, False],
+    })
+    from twine_ray.stages.query import describe_resource
+
+    got = describe_resource(ds, "r").to_pandas()
+    pairs = sorted(zip(got["subj"], got["pred"]))
+    assert pairs == [
+        ("_:b1", "next"), ("_:b1", "street"), ("_:b2", "street"),
+        ("o", "back"), ("r", "addr"), ("r", "name"), ("x", "link"),
+    ]
+    # predicate scoping prunes the walk: only addr kept -> closure
+    # still follows ITS bnode, but name disappears
+    scoped = describe_resource(ds, "r", preds={"addr"}).to_pandas()
+    assert sorted(scoped["pred"]) == ["addr", "next", "street",
+                                      "street"]
+    # depth cap bounds the walk
+    capped = describe_resource(ds, "r", bnode_depth=1).to_pandas()
+    assert "_:b2" not in set(capped["subj"])
+
+
+def test_describe_bnode_cycle_terminates(ray_session):
+    ds = _triples_ds({
+        "graph": ["g"] * 3,
+        "subj":  ["r", "_:a", "_:b"],
+        "pred":  ["p", "q", "q2"],
+        "obj":   ["_:a", "_:b", "_:a"],
+        "obj_is_lit": [False] * 3,
+    })
+    from twine_ray.stages.query import describe_resource
+
+    got = describe_resource(ds, "r").to_pandas()
+    assert sorted(got["subj"]) == ["_:a", "_:b", "r"]

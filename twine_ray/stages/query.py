@@ -1272,20 +1272,28 @@ def bgp_minus(source, patterns, minus, optional=(), filters=(),
     return joined.map_batches(_keep, batch_format="pyarrow")
 
 
-def describe_resource(source, iri: str, preds=None):
-    """SPARQL DESCRIBE analog: every store triple where the resource
-    is the subject, plus every triple pointing AT it (object position,
-    IRIs only) — a concise-bounded-description profile.  ``preds``
-    optionally restricts the predicate set (DESCRIBE profiles are
-    implementation-defined by the SPARQL spec; the predicate-scoped
-    profile is what Spindle's entity lookups return).
+def describe_resource(source, iri: str, preds=None,
+                      bnode_depth: int = 8):
+    """SPARQL DESCRIBE analog — a CONCISE BOUNDED DESCRIPTION: every
+    store triple where the resource is the subject, the transitive
+    closure over BLANK-NODE-valued objects (``_:`` prefixed IRI-kind
+    terms — Turtle property lists put these in the store; each bnode's
+    OWN properties belong to the resource's description), plus every
+    triple pointing AT the resource (object position, IRIs only).
+    ``preds`` optionally restricts the predicate set of the RESOURCE's
+    direct triples (the predicate-scoped profile Spindle's entity
+    lookups return — the closure then walks only from the kept
+    triples; a bnode's own properties are never pred-filtered, they
+    are part of the value being described).
 
-    Over a store directory both scans are bound-term pruned
-    (``match_triples`` pushes subj/obj equality into Parquet row-group
-    statistics); over an in-memory Dataset it is one streaming filter
-    pass.  No shuffle — the store is already exact-deduplicated at
-    materialize time, and the two scans are made disjoint by excluding
-    subj-matches from the object scan."""
+    Over a store directory every scan is bound-term pruned
+    (``match_triples`` pushes subj equality / IN-SET into Parquet
+    row-group statistics).  The bnode frontier is collected
+    driver-side per level — bounded: an entity description's bnode
+    tree is small by contract, and ``bnode_depth`` caps the walk.  No
+    shuffle — the store is exact-deduplicated at materialize time and
+    the scans are disjoint (bnode subjects are never ``iri``; the
+    object scan excludes subj matches)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -1299,31 +1307,63 @@ def describe_resource(source, iri: str, preds=None):
             return base
         return pc.and_(base, pc.is_in(t["pred"], value_set=pred_arr))
 
-    if isinstance(source, str):
-        subj_ds = match_triples(source, subj=iri)
-        obj_ds = match_triples(source, obj=iri)
-
-        def _subj_side(t: pa.Table) -> pa.Table:
-            return t.filter(_pred_mask(t, pc.equal(t["subj"], iri)))
-
-        def _obj_side(t: pa.Table) -> pa.Table:
-            m = pc.and_(
-                pc.and_(pc.equal(t["obj"], iri),
-                        pc.invert(t["obj_is_lit"])),
-                pc.invert(pc.equal(t["subj"], iri)),
+    def _subj_scan(subjects, apply_preds: bool):
+        """Triples whose subj is in ``subjects`` (pruned over a store
+        dir via the IN-SET pushdown), materialized — each frontier is
+        consumed twice (bnode extraction + output union)."""
+        subs = tuple(sorted(subjects))
+        if isinstance(source, str):
+            ds = match_triples(
+                source, subj=subs[0] if len(subs) == 1 else subs
             )
-            return t.filter(_pred_mask(t, m))
+        else:
+            ds = source
+        sub_arr = pa.array(subs, type=pa.string())
 
-        return subj_ds.map_batches(
-            _subj_side, batch_format="pyarrow"
-        ).union(obj_ds.map_batches(_obj_side, batch_format="pyarrow"))
+        def _fn(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t["subj"], value_set=sub_arr)
+            if apply_preds:
+                m = _pred_mask(t, m)
+            return t.filter(m)
 
-    def _both(t: pa.Table) -> pa.Table:
-        m = pc.or_(
-            pc.equal(t["subj"], iri),
+        return ds.map_batches(_fn, batch_format="pyarrow").materialize()
+
+    def _bnode_objs(ds) -> set[str]:
+        rows = ds.map_batches(
+            lambda t: pa.table({
+                "obj": t.filter(pc.and_(
+                    pc.invert(t["obj_is_lit"]),
+                    pc.starts_with(t["obj"], "_:"),
+                ))["obj"],
+            }),
+            batch_format="pyarrow",
+        ).take_all()  # bounded: bnode fanout of one description
+        return {r["obj"] for r in rows}
+
+    out = _subj_scan([iri], True)
+    visited = {iri}
+    frontier = out
+    for _ in range(bnode_depth):
+        new = _bnode_objs(frontier) - visited
+        if not new:
+            break
+        visited |= new
+        frontier = _subj_scan(sorted(new), False)
+        out = out.union(frontier)
+
+    if isinstance(source, str):
+        obj_ds = match_triples(source, obj=iri)
+    else:
+        obj_ds = source
+
+    def _obj_side(t: pa.Table) -> pa.Table:
+        m = pc.and_(
             pc.and_(pc.equal(t["obj"], iri),
                     pc.invert(t["obj_is_lit"])),
+            pc.invert(pc.equal(t["subj"], iri)),
         )
         return t.filter(_pred_mask(t, m))
 
-    return source.map_batches(_both, batch_format="pyarrow")
+    return out.union(
+        obj_ds.map_batches(_obj_side, batch_format="pyarrow")
+    )
