@@ -595,6 +595,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
               FILTER(datatype(?v) = xsd:dateTime)
             }}""")
 
+    def kg_sparql_optfilter(sf_dir: str):
+        """Round-5 FILTER inside OPTIONAL (the leftjoin-condition
+        subset: the filter reads only the optional pattern's own
+        variables, so pre-filtering the optional side is EXACT): every
+        languaged graph, optionally joined to its title only when the
+        title contains a '0' — failing titles null out, and null
+        coalesces to '' for the hash compare (kg_bgp_optional's
+        convention)."""
+        import pyarrow.compute as pc
+
+        from twine_ray.stages.sparql import sparql_query
+
+        res = sparql_query(_kg_triples(sf_dir), f"""
+            PREFIX dc: <{_DC}>
+            SELECT ?g ?lang ?title WHERE {{
+              GRAPH ?g {{ ?s dc:language ?lang }}
+              OPTIONAL {{ GRAPH ?g {{ ?s dc:title ?title }}
+                          FILTER(contains(?title, "0")) }}
+            }}""")
+        return res.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("title"), "title",
+                pc.fill_null(t["title"], ""),
+            ),
+            batch_format="pyarrow",
+        )
+
     def kg_path(sf_dir: str):
         """Property-path ``p{1,2}`` analog with a free start
         (stages/bfs.path_pairs): all (start, node) pairs within 2 hops
@@ -627,18 +654,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # query earns a driver-green row across rounds: rounds 1-3 checked
     # the 40 relational + 10 text-head entries, round 4 checked the 50
     # oracled entries those rounds never reached.  This round the
-    # window keeps 38 round-4 entries and swaps in the 12 that have no
+    # window keeps 37 round-4 entries and swaps in the 13 that have no
     # driver-green history: the four round-4 SPARQL text twins
     # (kg_sparql_union/minus/modifiers/construct — added after the r4
     # reorder, aliased oracles, local-parity only until now), the
     # seven new round-5 SPARQL constructs (||, BIND, EXISTS,
-    # NOT EXISTS, path alternation, lang(), datatype()), and
-    # doc_langid_best (the integer score twin of the langid
-    # heuristic).  Swapped out (driver-green in r4, oracle parity
-    # still enforced every round by tools/check_oracles.py over ALL
-    # oracled queries): media_* (5), path_algebra, path_optional,
-    # event_funnel, cohort_retention, doc_split, sample_stratified,
-    # contrastive_negatives.
+    # NOT EXISTS, path alternation, lang(), datatype(),
+    # OPTIONAL-scoped FILTER), doc_langid_best (the integer score
+    # twin of the langid heuristic).  Swapped out (driver-green in
+    # r4, oracle parity still enforced every round by
+    # tools/check_oracles.py over ALL oracled queries): media_* (5),
+    # path_algebra, path_optional, event_funnel, cohort_retention,
+    # doc_split, sample_stratified, contrastive_negatives,
+    # train_shards.
     return {
         # --- KG pipeline + SPARQL surface (oracled slices first; the
         # store is built once per session and shared — _kg_triples)
@@ -674,6 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_alt": kg_sparql_alt,
         "kg_sparql_lang": kg_sparql_lang,
         "kg_sparql_dt": kg_sparql_dt,
+        "kg_sparql_optfilter": kg_sparql_optfilter,
         # --- dedup family (oracled members)
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_jaccard": dedup.q_dedup_jaccard,
@@ -696,12 +725,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid_best": text.q_doc_langid_best,
         # --- training-data pipeline extras (oracled)
         "doc_chunks": text.q_doc_chunks,
-        "train_shards": text.q_train_shards,
         "train_packing": text.q_train_packing,
         "curate_corpus": text.q_curate_corpus,
         # ================= driver window boundary (50) =================
         # --- below the window: driver-green in earlier rounds; oracle
         # parity still enforced locally every round
+        "train_shards": text.q_train_shards,
         "contrastive_negatives": text.q_contrastive_negatives,
         "doc_split": text.q_doc_split,
         "sample_stratified": text.q_sample_stratified,
@@ -968,6 +997,25 @@ def _oracle_sql_literals() -> dict[str, str]:
                        || ' (' || source || ')' AS title
             FROM documents
             WHERE doc_id % 4 <> 3 AND COALESCE(lang, '') = 'en'
+        """,
+        "kg_sparql_optfilter": """
+            -- FILTER inside OPTIONAL (pre-filtered optional side):
+            -- titles survive only when they contain a '0'; failing or
+            -- absent titles coalesce to ''
+            WITH d AS (
+                SELECT 'http://' || COALESCE(NULLIF(source, ''), 'docs')
+                           || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                           AS g,
+                       lang,
+                       CASE WHEN doc_id % 4 = 3 THEN ''
+                            ELSE 'Document ' || CAST(doc_id AS VARCHAR)
+                                 || ' (' || source || ')' END AS title
+                FROM documents WHERE COALESCE(lang, '') <> ''
+            )
+            SELECT g, lang,
+                   CASE WHEN title <> '' AND strpos(title, '0') > 0
+                        THEN title ELSE '' END AS title
+            FROM d
         """,
         "kg_sparql_dt": """
             -- datatype() = xsd:dateTime over a variable-predicate

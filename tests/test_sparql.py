@@ -711,3 +711,27 @@ def test_path_alternation_execution(meta_ds):
     assert sorted(zip(inv["s"], inv["o"])) == [
         ("s1", "o1"), ("s3", "o1"),
     ]
+
+
+def test_optional_scoped_filter(meta_ds):
+    """FILTER inside OPTIONAL pre-filters the optional side: a
+    solution whose optional match fails the filter keeps its row with
+    a NULL binding (leftjoin(A, filter(F, B)) semantics)."""
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s ?n ?a WHERE {
+        ?s <name> ?n
+        OPTIONAL { ?s <age> ?a FILTER(?a > "35") } }'''))
+    rows = {s: a for s, a in zip(got["s"], got["a"])}
+    assert len(got) == 3
+    assert rows["s2"] == "40"
+    assert pd.isna(rows["s1"])  # age 30 fails the filter -> null
+    assert pd.isna(rows["s3"])  # no age at all -> null
+    # filter referencing an outer-only variable is refused
+    with pytest.raises(ValueError, match="own variables"):
+        sparql_query(meta_ds, '''SELECT ?s WHERE {
+            ?s <name> ?n
+            OPTIONAL { ?s <age> ?a FILTER(?n = "Anna") } }''').to_pandas()
+    # multi-pattern OPTIONAL with a filter stays outside the subset
+    with pytest.raises(SparqlSyntaxError, match="exactly one"):
+        parse_sparql('''SELECT ?s WHERE {
+            ?s <name> ?n
+            OPTIONAL { ?s <age> ?a . ?s <p1> ?o FILTER(?a > "1") } }''')

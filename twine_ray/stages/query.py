@@ -632,9 +632,20 @@ def bgp_match(source, patterns, select: list[str] | None = None,
         raise ValueError("bgp_match needs at least one pattern")
 
     parsed = [_parse_pattern(p) for p in patterns]
-    parsed_opt = [_parse_pattern(p) for p in optional]
+    # optional entries: a pattern tuple, or {"pattern": ..., "filters":
+    # [...]} — OPTIONAL-scoped filters whose variables are all bound by
+    # the optional pattern itself (the subset where
+    # leftjoin(A, filter(F, B)) == leftjoin(A, B, F) exactly)
+    parsed_opt = []
+    for p in optional:
+        if isinstance(p, dict):
+            ob, ov = _parse_pattern(p["pattern"])
+            parsed_opt.append((ob, ov, tuple(p.get("filters", ()))))
+        else:
+            ob, ov = _parse_pattern(p)
+            parsed_opt.append((ob, ov, ()))
     all_vars: list[str] = []
-    for _, variables in parsed + parsed_opt:
+    for _, variables in parsed + [po[:2] for po in parsed_opt]:
         for v in variables.values():
             if v not in all_vars:
                 all_vars.append(v)
@@ -862,7 +873,7 @@ def bgp_match(source, patterns, select: list[str] | None = None,
         for v in pat_vars:
             if v not in acc_vars:
                 acc_vars.append(v)
-    for bound, variables in parsed_opt:
+    for bound, variables, ofilters in parsed_opt:
         if not variables:
             # an OPTIONAL ASK guard never filters — no-op by SPARQL
             # semantics (the solution survives whether or not the
@@ -881,8 +892,25 @@ def bgp_match(source, patterns, select: list[str] | None = None,
                 f"patterns: {pat_vars}"
             )
         new_vars = [v for v in pat_vars if v not in acc_vars]
-        pat_binds = _pattern_bindings(_scan(bound), bound, variables) \
-            .materialize()
+        pat_binds = _pattern_bindings(_scan(bound), bound, variables)
+        if ofilters:
+            # sound as a pre-filter: the subset requires vars(F) to be
+            # bound by THIS optional pattern, and SPARQL's
+            # leftjoin(A, B, F) equals leftjoin(A, filter(F, B)) when
+            # F mentions only B's variables (shared ones included —
+            # compatible rows agree on them)
+            try:
+                omask = _compile_filters(ofilters, set(pat_vars))
+            except ValueError as e:
+                raise ValueError(
+                    "OPTIONAL-scoped filters may reference only the "
+                    f"optional pattern's own variables {pat_vars}: {e}"
+                )
+            pat_binds = pat_binds.map_batches(
+                lambda t, om=omask: t.filter(om(t)),
+                batch_format="pyarrow",
+            )
+        pat_binds = pat_binds.materialize()
         n = pat_binds.count()
         if n == 0:
             # nothing matches anywhere: every solution keeps one row

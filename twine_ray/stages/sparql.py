@@ -522,17 +522,35 @@ class _Parser:
                     )
                 self.next()
                 inner = self.parse_group(allow_compound=False)
-                if inner["filters"]:
-                    raise SparqlSyntaxError(
-                        "FILTER inside OPTIONAL is not in the subset "
-                        "(apply it to the outer group)"
-                    )
                 if inner["path_quants"]:
                     raise SparqlSyntaxError(
                         "quantified paths inside OPTIONAL are not in "
                         "the subset"
                     )
-                out["optional"].extend(inner["patterns"])
+                if inner["filters"]:
+                    # OPTIONAL-scoped FILTER: supported for the
+                    # single-pattern group whose filter reads only the
+                    # pattern's own variables (there
+                    # leftjoin(A, filter(F, B)) == leftjoin(A, B, F)
+                    # exactly; the algebra pre-filters the optional
+                    # binding set — stages/query.py)
+                    if len(inner["patterns"]) != 1:
+                        raise SparqlSyntaxError(
+                            "FILTER inside OPTIONAL needs exactly one "
+                            "pattern in the subset"
+                        )
+                    if any(self._spec_has_scan_op(f)
+                           for f in inner["filters"]):
+                        raise SparqlSyntaxError(
+                            "lang()/datatype() inside OPTIONAL is not "
+                            "in the subset"
+                        )
+                    out["optional"].append({
+                        "pattern": inner["patterns"][0],
+                        "filters": inner["filters"],
+                    })
+                else:
+                    out["optional"].extend(inner["patterns"])
             elif self.at_kw("minus"):
                 if not allow_compound:
                     raise SparqlSyntaxError(
@@ -1053,6 +1071,22 @@ def _pattern_tuples(patterns) -> list[tuple]:
     return [tuple(_term_str(t) for t in p) for p in patterns]
 
 
+def _optional_entries(entries) -> list:
+    """Optional-group entries -> bgp_match form: plain pattern tuples,
+    or {"pattern": ..., "filters": [...]} for OPTIONAL-scoped
+    filters."""
+    out = []
+    for e in entries:
+        if isinstance(e, dict):
+            out.append({
+                "pattern": tuple(_term_str(t) for t in e["pattern"]),
+                "filters": e["filters"],
+            })
+        else:
+            out.append(tuple(_term_str(t) for t in e))
+    return out
+
+
 def parse_sparql(text: str) -> dict:
     """Parse a query string into an algebra plan dict (driver-side)."""
     return _Parser(text).parse_query()
@@ -1200,7 +1234,7 @@ def sparql_query(source, text: str):
             )
         return _exec_path_quant(source, plan)
     patterns = _pattern_tuples(group["patterns"])
-    optional = _pattern_tuples(group["optional"])
+    optional = _optional_entries(group["optional"])
     binds = group["binds"]
     exists = [_pattern_tuples(g) for g in group["exists"]]
     not_exists = [_pattern_tuples(g) for g in group["not_exists"]]
