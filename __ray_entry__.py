@@ -622,6 +622,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def kg_sparql_optgroup(sf_dir: str):
+        """Round-5 GROUPED OPTIONAL: the inner patterns join FIRST
+        (title AND modified on the same subject), then ONE left join —
+        a no-<title> page nulls BOTH variables even though its
+        dc:modified triple exists (the flattened per-pattern form
+        would bind ?mod alone; this query's oracle distinguishes the
+        two semantics).  Nulls coalesce to '' for the hash compare."""
+        import pyarrow.compute as pc
+
+        from twine_ray.stages.sparql import sparql_query
+
+        res = sparql_query(_kg_triples(sf_dir), f"""
+            PREFIX dc: <{_DC}>
+            SELECT ?g ?lang ?title ?mod WHERE {{
+              GRAPH ?g {{ ?s dc:language ?lang }}
+              OPTIONAL {{ GRAPH ?g {{ ?s dc:title ?title .
+                                      ?s dc:modified ?mod }} }}
+            }}""")
+
+        def _coalesce(t):
+            for c in ("title", "mod"):
+                t = t.set_column(
+                    t.schema.get_field_index(c), c,
+                    pc.fill_null(t[c], ""),
+                )
+            return t
+
+        return res.map_batches(_coalesce, batch_format="pyarrow")
+
     def kg_path(sf_dir: str):
         """Property-path ``p{1,2}`` analog with a free start
         (stages/bfs.path_pairs): all (start, node) pairs within 2 hops
@@ -654,7 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # query earns a driver-green row across rounds: rounds 1-3 checked
     # the 40 relational + 10 text-head entries, round 4 checked the 50
     # oracled entries those rounds never reached.  This round the
-    # window keeps 37 round-4 entries and swaps in the 13 that have no
+    # window keeps 36 round-4 entries and swaps in the 14 that have no
     # driver-green history: the four round-4 SPARQL text twins
     # (kg_sparql_union/minus/modifiers/construct — added after the r4
     # reorder, aliased oracles, local-parity only until now), the
@@ -666,7 +695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # tools/check_oracles.py over ALL oracled queries): media_* (5),
     # path_algebra, path_optional, event_funnel, cohort_retention,
     # doc_split, sample_stratified, contrastive_negatives,
-    # train_shards.
+    # train_shards, doc_chunks.
     return {
         # --- KG pipeline + SPARQL surface (oracled slices first; the
         # store is built once per session and shared — _kg_triples)
@@ -703,6 +732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_lang": kg_sparql_lang,
         "kg_sparql_dt": kg_sparql_dt,
         "kg_sparql_optfilter": kg_sparql_optfilter,
+        "kg_sparql_optgroup": kg_sparql_optgroup,
         # --- dedup family (oracled members)
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_jaccard": dedup.q_dedup_jaccard,
@@ -724,12 +754,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid_counts": text.q_doc_langid_counts,
         "doc_langid_best": text.q_doc_langid_best,
         # --- training-data pipeline extras (oracled)
-        "doc_chunks": text.q_doc_chunks,
         "train_packing": text.q_train_packing,
         "curate_corpus": text.q_curate_corpus,
         # ================= driver window boundary (50) =================
         # --- below the window: driver-green in earlier rounds; oracle
         # parity still enforced locally every round
+        "doc_chunks": text.q_doc_chunks,
         "train_shards": text.q_train_shards,
         "contrastive_negatives": text.q_contrastive_negatives,
         "doc_split": text.q_doc_split,
@@ -1015,6 +1045,31 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT g, lang,
                    CASE WHEN title <> '' AND strpos(title, '0') > 0
                         THEN title ELSE '' END AS title
+            FROM d
+        """,
+        "kg_sparql_optgroup": """
+            -- grouped OPTIONAL: title AND modified must match
+            -- together — the no-<title> variant (doc_id%4=3) nulls
+            -- BOTH (its dc:modified triple alone is not enough),
+            -- coalesced to ''
+            WITH d AS (
+                SELECT 'http://' || COALESCE(NULLIF(source, ''), 'docs')
+                           || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                           AS g,
+                       lang, doc_id, source,
+                       strftime(TIMESTAMP '2024-06-01 00:00:00'
+                                + ((doc_id * 271) % 10000000)
+                                  * INTERVAL 1 SECOND,
+                                '%Y-%m-%dT%H:%M:%S') AS ts_iso
+                FROM documents WHERE COALESCE(lang, '') <> ''
+            )
+            SELECT g, lang,
+                   CASE WHEN doc_id % 4 <> 3
+                        THEN 'Document ' || CAST(doc_id AS VARCHAR)
+                             || ' (' || source || ')' ELSE '' END
+                       AS title,
+                   CASE WHEN doc_id % 4 <> 3 THEN ts_iso ELSE '' END
+                       AS mod
             FROM d
         """,
         "kg_sparql_dt": """

@@ -730,8 +730,25 @@ def test_optional_scoped_filter(meta_ds):
         sparql_query(meta_ds, '''SELECT ?s WHERE {
             ?s <name> ?n
             OPTIONAL { ?s <age> ?a FILTER(?n = "Anna") } }''').to_pandas()
-    # multi-pattern OPTIONAL with a filter stays outside the subset
-    with pytest.raises(SparqlSyntaxError, match="exactly one"):
-        parse_sparql('''SELECT ?s WHERE {
-            ?s <name> ?n
-            OPTIONAL { ?s <age> ?a . ?s <p1> ?o FILTER(?a > "1") } }''')
+
+
+def test_grouped_optional(meta_ds):
+    """OPTIONAL { a . b }: the inner patterns join FIRST, then ONE
+    left join — a solution binds the group's variables all-or-nothing
+    (SPARQL semantics; a flattened per-pattern form would bind ?a for
+    s2 even though s2 has no <p1>)."""
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s ?a ?o WHERE {
+        ?s <name> ?n
+        OPTIONAL { ?s <age> ?a . ?s <p1> ?o } }'''))
+    rows = {s: (a, o) for s, a, o in zip(got["s"], got["a"], got["o"])}
+    assert len(got) == 3
+    assert rows["s1"] == ("30", "o1")  # both inner patterns match
+    assert pd.isna(rows["s2"][0]) and pd.isna(rows["s2"][1])  # no p1
+    assert pd.isna(rows["s3"][0]) and pd.isna(rows["s3"][1])
+    # grouped OPTIONAL with a scoped filter
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s ?a ?o WHERE {
+        ?s <name> ?n
+        OPTIONAL { ?s <age> ?a . ?s <p1> ?o FILTER(?a > "20") } }'''))
+    rows = {s: (a, o) for s, a, o in zip(got["s"], got["a"], got["o"])}
+    assert rows["s1"] == ("30", "o1")
+    assert pd.isna(rows["s2"][0])

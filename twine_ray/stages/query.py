@@ -632,21 +632,48 @@ def bgp_match(source, patterns, select: list[str] | None = None,
         raise ValueError("bgp_match needs at least one pattern")
 
     parsed = [_parse_pattern(p) for p in patterns]
-    # optional entries: a pattern tuple, or {"pattern": ..., "filters":
-    # [...]} — OPTIONAL-scoped filters whose variables are all bound by
-    # the optional pattern itself (the subset where
-    # leftjoin(A, filter(F, B)) == leftjoin(A, B, F) exactly)
+    # optional entries: a pattern tuple (one left join per pattern —
+    # the programmatic back-compat form), {"pattern": ..., "filters":
+    # [...]} (OPTIONAL-scoped filters whose variables are all bound by
+    # the optional pattern itself — the subset where
+    # leftjoin(A, filter(F, B)) == leftjoin(A, B, F) exactly), or
+    # {"patterns": [...], "filters": [...]} — a GROUPED optional: the
+    # inner patterns join FIRST as their own BGP and the result
+    # left-joins ONCE (SPARQL's OPTIONAL { a . b } semantics)
     parsed_opt = []
     for p in optional:
         if isinstance(p, dict):
-            ob, ov = _parse_pattern(p["pattern"])
-            parsed_opt.append((ob, ov, tuple(p.get("filters", ()))))
+            pats = p.get("patterns")
+            flt = tuple(p.get("filters", ()))
+            if pats is None:
+                pats = [p["pattern"]]
+            if len(pats) == 1:
+                ob, ov = _parse_pattern(pats[0])
+                parsed_opt.append(
+                    ("single", ob, ov, flt)
+                )
+            else:
+                gvars: list[str] = []
+                for pat in pats:
+                    _, ov = _parse_pattern(pat)
+                    for v in ov.values():
+                        if v not in gvars:
+                            gvars.append(v)
+                parsed_opt.append(("group", list(pats), flt, gvars))
         else:
             ob, ov = _parse_pattern(p)
-            parsed_opt.append((ob, ov, ()))
+            parsed_opt.append(("single", ob, ov, ()))
     all_vars: list[str] = []
-    for _, variables in parsed + [po[:2] for po in parsed_opt]:
+    for _, variables in parsed:
         for v in variables.values():
+            if v not in all_vars:
+                all_vars.append(v)
+    for entry in parsed_opt:
+        vs = (
+            list(dict.fromkeys(entry[2].values()))
+            if entry[0] == "single" else entry[3]
+        )
+        for v in vs:
             if v not in all_vars:
                 all_vars.append(v)
     parsed_binds = []
@@ -873,18 +900,23 @@ def bgp_match(source, patterns, select: list[str] | None = None,
         for v in pat_vars:
             if v not in acc_vars:
                 acc_vars.append(v)
-    for bound, variables, ofilters in parsed_opt:
-        if not variables:
-            # an OPTIONAL ASK guard never filters — no-op by SPARQL
-            # semantics (the solution survives whether or not the
-            # optional part matches)
-            continue
+    for entry in parsed_opt:
+        kind = entry[0]
+        if kind == "single":
+            _, bound, variables, ofilters = entry
+            if not variables:
+                # an OPTIONAL ASK guard never filters — no-op by
+                # SPARQL semantics (the solution survives whether or
+                # not the optional part matches)
+                continue
+            pat_vars = list(dict.fromkeys(variables.values()))
+        else:
+            _, gpats, ofilters, pat_vars = entry
         if acc is None:
             raise ValueError(
                 "optional patterns require at least one non-ASK "
                 "required pattern"
             )
-        pat_vars = list(dict.fromkeys(variables.values()))
         shared = [v for v in acc_vars if v in pat_vars]
         if not shared:
             raise ValueError(
@@ -892,25 +924,40 @@ def bgp_match(source, patterns, select: list[str] | None = None,
                 f"patterns: {pat_vars}"
             )
         new_vars = [v for v in pat_vars if v not in acc_vars]
-        pat_binds = _pattern_bindings(_scan(bound), bound, variables)
-        if ofilters:
-            # sound as a pre-filter: the subset requires vars(F) to be
-            # bound by THIS optional pattern, and SPARQL's
-            # leftjoin(A, B, F) equals leftjoin(A, filter(F, B)) when
-            # F mentions only B's variables (shared ones included —
-            # compatible rows agree on them)
-            try:
-                omask = _compile_filters(ofilters, set(pat_vars))
-            except ValueError as e:
-                raise ValueError(
-                    "OPTIONAL-scoped filters may reference only the "
-                    f"optional pattern's own variables {pat_vars}: {e}"
+        if kind == "single":
+            pat_binds = _pattern_bindings(_scan(bound), bound,
+                                          variables)
+            if ofilters:
+                # sound as a pre-filter: the subset requires vars(F)
+                # to be bound by THIS optional pattern, and SPARQL's
+                # leftjoin(A, B, F) equals leftjoin(A, filter(F, B))
+                # when F mentions only B's variables (shared ones
+                # included — compatible rows agree on them)
+                try:
+                    omask = _compile_filters(ofilters, set(pat_vars))
+                except ValueError as e:
+                    raise ValueError(
+                        "OPTIONAL-scoped filters may reference only "
+                        f"the optional pattern's own variables "
+                        f"{pat_vars}: {e}"
+                    )
+                pat_binds = pat_binds.map_batches(
+                    lambda t, om=omask: t.filter(om(t)),
+                    batch_format="pyarrow",
                 )
-            pat_binds = pat_binds.map_batches(
-                lambda t, om=omask: t.filter(om(t)),
-                batch_format="pyarrow",
-            )
-        pat_binds = pat_binds.materialize()
+            pat_binds = pat_binds.materialize()
+        else:
+            # grouped OPTIONAL: the inner group joins FIRST (its own
+            # BGP — including its scoped filters), then ONE left join
+            # of the joined inner solutions (SPARQL semantics; the
+            # flattened per-pattern form would bind b's variables even
+            # where a failed)
+            try:
+                pat_binds = bgp_match(
+                    source, gpats, filters=list(ofilters)
+                ).materialize()
+            except ValueError as e:
+                raise ValueError(f"OPTIONAL group: {e}")
         n = pat_binds.count()
         if n == 0:
             # nothing matches anywhere: every solution keeps one row

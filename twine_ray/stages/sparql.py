@@ -527,24 +527,30 @@ class _Parser:
                         "quantified paths inside OPTIONAL are not in "
                         "the subset"
                     )
-                if inner["filters"]:
-                    # OPTIONAL-scoped FILTER: supported for the
-                    # single-pattern group whose filter reads only the
-                    # pattern's own variables (there
-                    # leftjoin(A, filter(F, B)) == leftjoin(A, B, F)
-                    # exactly; the algebra pre-filters the optional
-                    # binding set — stages/query.py)
-                    if len(inner["patterns"]) != 1:
-                        raise SparqlSyntaxError(
-                            "FILTER inside OPTIONAL needs exactly one "
-                            "pattern in the subset"
-                        )
-                    if any(self._spec_has_scan_op(f)
-                           for f in inner["filters"]):
-                        raise SparqlSyntaxError(
-                            "lang()/datatype() inside OPTIONAL is not "
-                            "in the subset"
-                        )
+                if any(self._spec_has_scan_op(f)
+                       for f in inner["filters"]):
+                    raise SparqlSyntaxError(
+                        "lang()/datatype() inside OPTIONAL is not "
+                        "in the subset"
+                    )
+                if not inner["patterns"]:
+                    raise SparqlSyntaxError(
+                        "an OPTIONAL group needs at least one pattern"
+                    )
+                if len(inner["patterns"]) > 1:
+                    # grouped OPTIONAL: the inner patterns join FIRST,
+                    # then one left join (SPARQL OPTIONAL { a . b }
+                    # semantics — stages/query.py 'group' entries)
+                    out["optional"].append({
+                        "patterns": inner["patterns"],
+                        "filters": inner["filters"],
+                    })
+                elif inner["filters"]:
+                    # single pattern with an OPTIONAL-scoped FILTER:
+                    # the filter reads only the pattern's own
+                    # variables (there leftjoin(A, filter(F, B)) ==
+                    # leftjoin(A, B, F) exactly; the algebra
+                    # pre-filters the optional binding set)
                     out["optional"].append({
                         "pattern": inner["patterns"][0],
                         "filters": inner["filters"],
@@ -1078,10 +1084,18 @@ def _optional_entries(entries) -> list:
     out = []
     for e in entries:
         if isinstance(e, dict):
-            out.append({
-                "pattern": tuple(_term_str(t) for t in e["pattern"]),
-                "filters": e["filters"],
-            })
+            if "patterns" in e:
+                out.append({
+                    "patterns": _pattern_tuples(e["patterns"]),
+                    "filters": e["filters"],
+                })
+            else:
+                out.append({
+                    "pattern": tuple(
+                        _term_str(t) for t in e["pattern"]
+                    ),
+                    "filters": e["filters"],
+                })
         else:
             out.append(tuple(_term_str(t) for t in e))
     return out
