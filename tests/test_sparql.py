@@ -127,8 +127,8 @@ def test_parse_modifiers_and_aggregates():
     "SELECT ?x WHERE { OPTIONAL { ?x ?p ?o BIND(1 AS ?y) } }",
     "SELECT ?x WHERE { OPTIONAL { ?x ?p ?o "
     "FILTER EXISTS { ?x ?p ?o } } }",
-    "SELECT ?x WHERE { ?x ?p ?o FILTER EXISTS { ?x ?p ?o "
-    'FILTER(?x = "a") } }',
+    "SELECT ?x WHERE { ?x ?p ?o FILTER EXISTS { ?x <q> ?w "
+    'FILTER(lang(?w) = "en") } }',
     'SELECT ?x WHERE { ?x ?p ?o . '
     'FILTER(lang(?o) = "en" || ?x = "b") }',
     'SELECT ?x WHERE { ?x ?p ?o . FILTER(lang(?o) < "en") }',
@@ -205,8 +205,21 @@ def test_parse_bind_and_exists():
     assert g["binds"] == [("y", "c"), ("z", "?x")]
     # inner-group patterns hold raw parser terms (variables compare
     # equal to their bare names)
-    assert g["exists"] == [[("x", "http://q", "w")]]
-    assert g["not_exists"] == [[("x", "http://r", "w2")]]
+    assert g["exists"] == [
+        {"patterns": [("x", "http://q", "w")], "filters": []},
+    ]
+    assert g["not_exists"] == [
+        {"patterns": [("x", "http://r", "w2")], "filters": []},
+    ]
+    # FILTER inside EXISTS (non-correlated)
+    plan = parse_sparql(
+        'SELECT ?x WHERE { ?x <http://p> ?o '
+        'FILTER EXISTS { ?x <http://q> ?w FILTER(?w > "3") } }'
+    )
+    assert plan["group"]["exists"] == [
+        {"patterns": [("x", "http://q", "w")],
+         "filters": [("w", ">", "3")]},
+    ]
 
 
 def test_parse_path_alternation():
@@ -752,3 +765,16 @@ def test_grouped_optional(meta_ds):
     rows = {s: (a, o) for s, a, o in zip(got["s"], got["a"], got["o"])}
     assert rows["s1"] == ("30", "o1")
     assert pd.isna(rows["s2"][0])
+
+
+def test_exists_with_inner_filter(meta_ds):
+    """FILTER inside EXISTS constrains the inner group (non-correlated
+    — the filter reads the inner group's own variables)."""
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s ?n WHERE {
+        ?s <name> ?n
+        FILTER EXISTS { ?s <age> ?a FILTER(?a > "35") } }'''))
+    assert list(got["n"]) == ["Berta"]  # only s2's age 40 passes
+    got = _canon(sparql_query(meta_ds, '''SELECT ?s ?n WHERE {
+        ?s <name> ?n
+        FILTER NOT EXISTS { ?s <age> ?a FILTER(?a > "35") } }'''))
+    assert list(got["n"]) == ["Anna", "Cora"]

@@ -497,7 +497,14 @@ def _semi_anti_join(source, acc, acc_vars, acc_rows, inner_patterns,
         default_num_partitions,
     )
 
-    inner = bgp_match(source, inner_patterns)
+    if isinstance(inner_patterns, dict):
+        # {"patterns": [...], "filters": [...]} — the filters read the
+        # inner group's own variables (non-correlated; bgp_match
+        # raises on anything else)
+        inner = bgp_match(source, inner_patterns["patterns"],
+                          filters=inner_patterns.get("filters", ()))
+    else:
+        inner = bgp_match(source, inner_patterns)
     inner_vars = inner.schema().names
     shared = [v for v in acc_vars if v in inner_vars]
     if not shared:

@@ -585,14 +585,24 @@ class _Parser:
                             "is not in the subset"
                         )
                     inner = self.parse_group(allow_compound=False)
-                    if inner["filters"] or inner["path_quants"]:
+                    if inner["path_quants"]:
                         raise SparqlSyntaxError(
-                            "the EXISTS group holds plain patterns "
-                            "only in the subset (no FILTER / "
-                            "quantified paths inside)"
+                            "quantified paths inside EXISTS are not "
+                            "in the subset"
+                        )
+                    if any(self._spec_has_scan_op(f)
+                           for f in inner["filters"]):
+                        raise SparqlSyntaxError(
+                            "lang()/datatype() inside EXISTS is not "
+                            "in the subset"
                         )
                     key = "not_exists" if neg else "exists"
-                    out[key].append(inner["patterns"])
+                    # filters read the INNER group's own variables
+                    # (non-correlated — checked at execution)
+                    out[key].append({
+                        "patterns": inner["patterns"],
+                        "filters": inner["filters"],
+                    })
                 else:
                     out["filters"].extend(self.parse_filter())
             elif self.at_kw("bind"):
@@ -1250,8 +1260,21 @@ def sparql_query(source, text: str):
     patterns = _pattern_tuples(group["patterns"])
     optional = _optional_entries(group["optional"])
     binds = group["binds"]
-    exists = [_pattern_tuples(g) for g in group["exists"]]
-    not_exists = [_pattern_tuples(g) for g in group["not_exists"]]
+
+    def _exists_entries(groups):
+        out = []
+        for g in groups:
+            if isinstance(g, dict):
+                out.append({
+                    "patterns": _pattern_tuples(g["patterns"]),
+                    "filters": g["filters"],
+                })
+            else:
+                out.append(_pattern_tuples(g))
+        return out
+
+    exists = _exists_entries(group["exists"])
+    not_exists = _exists_entries(group["not_exists"])
     if form == "ask":
         return bgp_ask(source, patterns, optional=optional,
                        filters=group["filters"], values=group["values"],
