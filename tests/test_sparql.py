@@ -146,7 +146,7 @@ def test_parse_modifiers_and_aggregates():
     'CONSTRUCT { ?s <http://p> ?o } WHERE { ?s <http://p> ?o }',  # no GRAPH
     'CONSTRUCT { GRAPH <g> { ?s <http://p>|<http://q> ?o } } '
     'WHERE { ?s <http://p> ?o }',
-    "ASK { { ?a ?p ?o } UNION { ?b ?p ?o } }",
+    "ASK { { ?a ?p ?o } MINUS { ?b ?p ?o } }",
     "DESCRIBE ?x",
 ])
 def test_parse_rejects_outside_subset(bad):
@@ -778,3 +778,21 @@ def test_exists_with_inner_filter(meta_ds):
         ?s <name> ?n
         FILTER NOT EXISTS { ?s <age> ?a FILTER(?a > "35") } }'''))
     assert list(got["n"]) == ["Anna", "Cora"]
+
+
+def test_ask_over_union(meta_ds):
+    yes = sparql_query(meta_ds, """ASK {
+        { ?s <zzz> ?o } UNION { ?s <p1> ?o } }""")
+    no = sparql_query(meta_ds, """ASK {
+        { ?s <zzz> ?o } UNION { ?s <yyy> ?o } }""")
+    assert yes.take_all()[0]["ask"] is True
+    assert no.take_all()[0]["ask"] is False
+
+
+def test_describe_multiple_iris(meta_ds):
+    one = _canon(sparql_query(meta_ds, "DESCRIBE <s1>"))
+    two = _canon(sparql_query(meta_ds, "DESCRIBE <s1> <s2>"))
+    assert len(two) > len(one)
+    assert set(two["subj"]) >= {"s1", "s2"}
+    plan = parse_sparql("DESCRIBE <s1> <s2>")
+    assert plan["iris"] == ["s1", "s2"]

@@ -937,11 +937,10 @@ class _Parser:
             self.next()
             self.eat_kw("where")
             group = self.parse_group()
-            if group["union_groups"] or group["minus"] or \
-                    group["path_quants"]:
+            if group["minus"] or group["path_quants"]:
                 raise SparqlSyntaxError(
-                    "ASK over UNION/MINUS/quantified paths is not in "
-                    "the subset"
+                    "ASK over MINUS/quantified paths is not in the "
+                    "subset"
                 )
             if self.peek()[0] != "EOF":
                 raise SparqlSyntaxError("trailing input after ASK group")
@@ -963,14 +962,17 @@ class _Parser:
                     "template": template}
         if self.at_kw("describe"):
             self.next()
-            term = self.parse_term(allow_var=False)
-            if not isinstance(term, str) or isinstance(term, _Lit):
-                raise SparqlSyntaxError("DESCRIBE needs an IRI")
-            if self.peek()[0] != "EOF":
+            iris = []
+            while self.peek()[0] != "EOF":
+                term = self.parse_term(allow_var=False)
+                if not isinstance(term, str) or isinstance(term, _Lit):
+                    raise SparqlSyntaxError("DESCRIBE needs IRIs")
+                iris.append(str(term))
+            if not iris:
                 raise SparqlSyntaxError(
-                    "DESCRIBE takes exactly one IRI in the subset"
+                    "DESCRIBE needs at least one IRI"
                 )
-            return {"form": "describe", "iri": str(term)}
+            return {"form": "describe", "iris": iris}
         self._reject_unsupported()
         raise SparqlSyntaxError(
             f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got "
@@ -1249,7 +1251,12 @@ def sparql_query(source, text: str):
     plan = parse_sparql(text)
     form = plan["form"]
     if form == "describe":
-        return describe_resource(source, plan["iri"])
+        # multiple resources: union of each one's concise bounded
+        # description (block concatenation, no shuffle)
+        res = describe_resource(source, plan["iris"][0])
+        for iri in plan["iris"][1:]:
+            res = res.union(describe_resource(source, iri))
+        return res
     group = plan["group"]
     if group.get("path_quants"):
         if form != "select":
@@ -1257,6 +1264,19 @@ def sparql_query(source, text: str):
                 "quantified paths are SELECT-only in the subset"
             )
         return _exec_path_quant(source, plan)
+    if form == "ask" and group["union_groups"] is not None:
+        # ASK over UNION: any branch having a solution answers true —
+        # limit(1) over the lazy union stream
+        import pyarrow as pa
+        import ray.data as rd
+
+        res = bgp_union(source, [
+            {"patterns": _pattern_tuples(g["patterns"]),
+             "filters": g["filters"]}
+            for g in group["union_groups"]
+        ])
+        n = res.limit(1).count()
+        return rd.from_arrow(pa.table({"ask": pa.array([n > 0])}))
     patterns = _pattern_tuples(group["patterns"])
     optional = _optional_entries(group["optional"])
     binds = group["binds"]
