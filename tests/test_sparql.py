@@ -796,3 +796,28 @@ def test_describe_multiple_iris(meta_ds):
     assert set(two["subj"]) >= {"s1", "s2"}
     plan = parse_sparql("DESCRIBE <s1> <s2>")
     assert plan["iris"] == ["s1", "s2"]
+
+
+def test_nested_optional_one_level(ray_session):
+    """OPTIONAL { A OPTIONAL { B } } = leftjoin(outer, leftjoin(A, B)):
+    the inner group computes its own left join first."""
+    ds = _triples_ds({
+        "graph": ["g"] * 6,
+        "subj":  ["r1", "r2", "r3", "r1", "r2", "l1"],
+        "pred":  ["name", "name", "name", "link", "link", "sub"],
+        "obj":   ["A", "B", "C", "l1", "l2", "x1"],
+        "obj_is_lit": [True, True, True, False, False, True],
+    })
+    got = _canon(sparql_query(ds, '''SELECT ?r ?l ?x WHERE {
+        ?r <name> ?n
+        OPTIONAL { ?r <link> ?l OPTIONAL { ?l <sub> ?x } } }'''))
+    rows = {r: (l, x) for r, l, x in zip(got["r"], got["l"], got["x"])}
+    assert len(got) == 3
+    assert rows["r1"] == ("l1", "x1")
+    assert rows["r2"][0] == "l2" and pd.isna(rows["r2"][1])
+    assert pd.isna(rows["r3"][0]) and pd.isna(rows["r3"][1])
+    # deeper nesting is refused
+    with pytest.raises(SparqlSyntaxError, match="one level"):
+        parse_sparql('''SELECT ?r WHERE { ?r <name> ?n
+            OPTIONAL { ?r <a> ?b OPTIONAL { ?b <c> ?d
+            OPTIONAL { ?d <e> ?f } } } }''')

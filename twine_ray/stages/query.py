@@ -647,26 +647,40 @@ def bgp_match(source, patterns, select: list[str] | None = None,
     # {"patterns": [...], "filters": [...]} — a GROUPED optional: the
     # inner patterns join FIRST as their own BGP and the result
     # left-joins ONCE (SPARQL's OPTIONAL { a . b } semantics)
+    def _opt_entry_vars(e) -> list[str]:
+        out: list[str] = []
+        pats = ([e["pattern"]] if "pattern" in e else e["patterns"]) \
+            if isinstance(e, dict) else [e]
+        for pat in pats:
+            _, ov = _parse_pattern(pat)
+            for v in ov.values():
+                if v not in out:
+                    out.append(v)
+        if isinstance(e, dict):
+            for sub in e.get("optional", ()):
+                for v in _opt_entry_vars(sub):
+                    if v not in out:
+                        out.append(v)
+        return out
+
     parsed_opt = []
     for p in optional:
         if isinstance(p, dict):
             pats = p.get("patterns")
             flt = tuple(p.get("filters", ()))
+            inner_opt = list(p.get("optional", ()))
             if pats is None:
                 pats = [p["pattern"]]
-            if len(pats) == 1:
+            if len(pats) == 1 and not inner_opt:
                 ob, ov = _parse_pattern(pats[0])
                 parsed_opt.append(
                     ("single", ob, ov, flt)
                 )
             else:
-                gvars: list[str] = []
-                for pat in pats:
-                    _, ov = _parse_pattern(pat)
-                    for v in ov.values():
-                        if v not in gvars:
-                            gvars.append(v)
-                parsed_opt.append(("group", list(pats), flt, gvars))
+                parsed_opt.append(
+                    ("group", list(pats), flt, _opt_entry_vars(p),
+                     inner_opt)
+                )
         else:
             ob, ov = _parse_pattern(p)
             parsed_opt.append(("single", ob, ov, ()))
@@ -918,7 +932,7 @@ def bgp_match(source, patterns, select: list[str] | None = None,
                 continue
             pat_vars = list(dict.fromkeys(variables.values()))
         else:
-            _, gpats, ofilters, pat_vars = entry
+            _, gpats, ofilters, pat_vars, inner_opt = entry
         if acc is None:
             raise ValueError(
                 "optional patterns require at least one non-ASK "
@@ -955,13 +969,17 @@ def bgp_match(source, patterns, select: list[str] | None = None,
             pat_binds = pat_binds.materialize()
         else:
             # grouped OPTIONAL: the inner group joins FIRST (its own
-            # BGP — including its scoped filters), then ONE left join
-            # of the joined inner solutions (SPARQL semantics; the
-            # flattened per-pattern form would bind b's variables even
-            # where a failed)
+            # BGP — including its scoped filters and, for ONE level of
+            # nesting, its own OPTIONALs: OPTIONAL { A OPTIONAL { B } }
+            # is leftjoin(outer, leftjoin(A, B)) — the recursive
+            # bgp_match call computes the inner leftjoin), then ONE
+            # left join of the joined inner solutions (SPARQL
+            # semantics; the flattened per-pattern form would bind b's
+            # variables even where a failed)
             try:
                 pat_binds = bgp_match(
-                    source, gpats, filters=list(ofilters)
+                    source, gpats, filters=list(ofilters),
+                    optional=inner_opt,
                 ).materialize()
             except ValueError as e:
                 raise ValueError(f"OPTIONAL group: {e}")

@@ -478,10 +478,15 @@ class _Parser:
 
     # -- group graph pattern ----------------------------------------------
 
-    def parse_group(self, *, allow_compound=True) -> dict:
+    def parse_group(self, *, allow_compound=True,
+                    opt_depth=2) -> dict:
         """{ ... } -> dict(patterns, optional, filters, values, minus,
         union_groups).  ``allow_compound=False`` (inner groups) refuses
-        nested OPTIONAL/MINUS/UNION — the documented subset."""
+        nested MINUS/UNION/VALUES/BIND — the documented subset.
+        ``opt_depth`` bounds OPTIONAL nesting: 2 at the top level, so
+        ``OPTIONAL { A OPTIONAL { B } }`` parses (one level — the
+        leftjoin(outer, leftjoin(A, B)) shape the algebra executes)
+        but deeper nesting is refused."""
         self.expect_op("{")
         out = {"patterns": [], "optional": [], "filters": [],
                "values": None, "minus": None, "union_groups": None,
@@ -516,12 +521,14 @@ class _Parser:
         while not self.at_op("}"):
             self._reject_unsupported()
             if self.at_kw("optional"):
-                if not allow_compound:
+                if opt_depth <= 0:
                     raise SparqlSyntaxError(
-                        "nested OPTIONAL groups are not in the subset"
+                        "OPTIONAL nests at most one level in the "
+                        "subset (OPTIONAL { A OPTIONAL { B } })"
                     )
                 self.next()
-                inner = self.parse_group(allow_compound=False)
+                inner = self.parse_group(allow_compound=False,
+                                         opt_depth=opt_depth - 1)
                 if inner["path_quants"]:
                     raise SparqlSyntaxError(
                         "quantified paths inside OPTIONAL are not in "
@@ -537,7 +544,15 @@ class _Parser:
                     raise SparqlSyntaxError(
                         "an OPTIONAL group needs at least one pattern"
                     )
-                if len(inner["patterns"]) > 1:
+                if inner["optional"]:
+                    # nested OPTIONAL (one level): the inner group is
+                    # its own leftjoin — forwarded whole
+                    out["optional"].append({
+                        "patterns": inner["patterns"],
+                        "filters": inner["filters"],
+                        "optional": inner["optional"],
+                    })
+                elif len(inner["patterns"]) > 1:
                     # grouped OPTIONAL: the inner patterns join FIRST,
                     # then one left join (SPARQL OPTIONAL { a . b }
                     # semantics — stages/query.py 'group' entries)
@@ -1097,10 +1112,13 @@ def _optional_entries(entries) -> list:
     for e in entries:
         if isinstance(e, dict):
             if "patterns" in e:
-                out.append({
+                entry = {
                     "patterns": _pattern_tuples(e["patterns"]),
                     "filters": e["filters"],
-                })
+                }
+                if e.get("optional"):
+                    entry["optional"] = _optional_entries(e["optional"])
+                out.append(entry)
             else:
                 out.append({
                     "pattern": tuple(
